@@ -1,0 +1,91 @@
+"""Bilinear resampling with ``cv2.remap(INTER_LINEAR, BORDER_REPLICATE)``
+semantics, expressed as XLA-friendly gathers.
+
+cv2's float32 remap is exact float bilinear (no fixed-point fraction
+quantization) and its uint8 path is exact bilinear followed by
+round-half-to-even — both verified empirically against OpenCV 5.0. Border
+replication is index clamping, which also covers out-of-range source
+coordinates produced by the reference's ``[0, 1..N]`` knot convention (a
+source coordinate of exactly ``N`` clamps to the last pixel, matching
+``cv2.remap``; see new_method.py:246 and checkpoint_utils.py:172).
+
+The warp grid is separable (``map_x`` depends only on the target column,
+``map_y`` only on the target row), so instead of a 2-D gather we do two 1-D
+gather+lerp passes — O(H·W·C) work, HBM-bandwidth bound, ideal for TPU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _axis_lerp(img: jnp.ndarray, coords: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Linear interpolation of ``img`` along ``axis`` at float ``coords``,
+    clamping neighbor indices (border replicate)."""
+    n = img.shape[axis]
+    i0 = jnp.floor(coords)
+    frac = coords - i0
+    i0 = jnp.clip(i0.astype(jnp.int32), 0, n - 1)
+    i1 = jnp.clip(i0 + 1, 0, n - 1)
+    g0 = jnp.take(img, i0, axis=axis)
+    g1 = jnp.take(img, i1, axis=axis)
+    shape = [1] * img.ndim
+    shape[axis] = coords.shape[0]
+    frac = frac.reshape(shape)
+    return g0 * (1.0 - frac) + g1 * frac
+
+
+def remap_bilinear_separable(
+    image: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray
+) -> jnp.ndarray:
+    """Warp ``image (H, W[, C])`` with per-axis source-coordinate vectors
+    ``map_x (W_out,)`` and ``map_y (H_out,)`` -> ``(H_out, W_out[, C])``.
+
+    Equivalent to ``cv2.remap(image, meshgrid(map_x, map_y)...)`` for
+    separable maps, but factored into two 1-D passes.
+    """
+    img = image.astype(jnp.float32)
+    w_axis = 1
+    h_axis = 0
+    out = _axis_lerp(img, map_x.astype(jnp.float32), axis=w_axis)
+    out = _axis_lerp(out, map_y.astype(jnp.float32), axis=h_axis)
+    return out
+
+
+def remap_bilinear_2d(
+    image: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray
+) -> jnp.ndarray:
+    """General (non-separable) remap: ``map_x, map_y`` are ``(H_out, W_out)``
+    full coordinate grids. Provided for parity with arbitrary ``cv2.remap``
+    use; the warp engine itself always uses the separable fast path."""
+    img = image.astype(jnp.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+        squeeze = True
+    else:
+        squeeze = False
+    H, W = img.shape[0], img.shape[1]
+    x0f = jnp.floor(map_x)
+    y0f = jnp.floor(map_y)
+    fx = (map_x - x0f)[..., None]
+    fy = (map_y - y0f)[..., None]
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    p00 = img[y0, x0]
+    p01 = img[y0, x1]
+    p10 = img[y1, x0]
+    p11 = img[y1, x1]
+    out = (
+        p00 * (1 - fx) * (1 - fy)
+        + p01 * fx * (1 - fy)
+        + p10 * (1 - fx) * fy
+        + p11 * fx * fy
+    )
+    return out[..., 0] if squeeze else out
+
+
+def saturate_uint8(x: jnp.ndarray) -> jnp.ndarray:
+    """cv2 ``saturate_cast<uchar>``: round half-to-even, clamp to [0, 255]."""
+    return jnp.clip(jnp.rint(x), 0.0, 255.0).astype(jnp.uint8)
