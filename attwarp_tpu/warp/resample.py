@@ -16,6 +16,7 @@ gather+lerp passes — O(H·W·C) work, HBM-bandwidth bound, ideal for TPU.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -89,3 +90,48 @@ def remap_bilinear_2d(
 def saturate_uint8(x: jnp.ndarray) -> jnp.ndarray:
     """cv2 ``saturate_cast<uchar>``: round half-to-even, clamp to [0, 255]."""
     return jnp.clip(jnp.rint(x), 0.0, 255.0).astype(jnp.uint8)
+
+
+def interp_matrix(coords: jnp.ndarray, in_len: int) -> jnp.ndarray:
+    """Bilinear interpolation as a two-banded ``(out_len, in_len)`` matrix.
+
+    Row j carries weight ``1-frac`` at ``floor(coords[j])`` and ``frac`` at
+    the next index, both clamped (border replicate; when both clamp to the
+    same border index the weights sum back to 1, matching the gather path).
+
+    This turns the separable warp into two MXU matmuls — on TPU an axis
+    gather scalarizes (~22 GB/s effective) while the matmul form sustains
+    >6x the throughput despite doing ~168x the nominal FLOPs.
+    """
+    i0 = jnp.floor(coords)
+    frac = (coords - i0).astype(jnp.float32)
+    i0c = jnp.clip(i0.astype(jnp.int32), 0, in_len - 1)
+    i1c = jnp.clip(i0c + 1, 0, in_len - 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (coords.shape[0], in_len), 1)
+    return (cols == i0c[:, None]) * (1.0 - frac[:, None]) + (
+        cols == i1c[:, None]
+    ) * frac[:, None]
+
+
+def remap_bilinear_separable_mm(
+    image: jnp.ndarray,
+    map_x: jnp.ndarray,
+    map_y: jnp.ndarray,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Matmul-form separable remap: ``image (H, W[, C])`` -> warped.
+
+    Numerically within ~1e-4 (relative) of the exact gather path at HIGHEST
+    precision — inside the ≤1e-3 parity budget — and the TPU throughput
+    path. The gather form remains the CPU/parity reference.
+    """
+    img = image.astype(jnp.float32)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    H, W = img.shape[0], img.shape[1]
+    Rx = interp_matrix(map_x.astype(jnp.float32), W)  # (W_out, W)
+    Ry = interp_matrix(map_y.astype(jnp.float32), H)  # (H_out, H)
+    t = jnp.einsum("hwc,jw->hjc", img, Rx, precision=precision)
+    out = jnp.einsum("ih,hjc->ijc", Ry, t, precision=precision)
+    return out[..., 0] if squeeze else out

@@ -27,8 +27,17 @@ from attwarp_tpu.warp.grid import (
     inverse_axis_map,
     inverse_axis_map_from_cdf,
 )
-from attwarp_tpu.warp.resample import remap_bilinear_separable
+from attwarp_tpu.warp.resample import (
+    remap_bilinear_separable,
+    remap_bilinear_separable_mm,
+)
 from attwarp_tpu.warp.transforms import Transform, WarpParams
+
+
+def _resample(image, map_x, map_y, method: str):
+    if method == "mm":
+        return remap_bilinear_separable_mm(image, map_x, map_y)
+    return remap_bilinear_separable(image, map_x, map_y)
 
 
 def _single_warp(
@@ -37,11 +46,12 @@ def _single_warp(
     new_width: int,
     new_height: int,
     params: WarpParams,
+    method: str = "gather",
 ) -> jnp.ndarray:
     profile_x, profile_y, total_x, total_y = attention_profiles(att_map, params)
     map_x = inverse_axis_map(profile_x, total_x, new_width)
     map_y = inverse_axis_map(profile_y, total_y, new_height)
-    return remap_bilinear_separable(image, map_x, map_y)
+    return _resample(image, map_x, map_y, method)
 
 
 @partial(jax.jit, static_argnames=("new_width", "new_height", "params"))
@@ -61,15 +71,22 @@ def warp_image_by_attention(
     return _single_warp(image, att_map, new_width, new_height, params)
 
 
-@partial(jax.jit, static_argnames=("new_width", "new_height", "params"))
+@partial(
+    jax.jit, static_argnames=("new_width", "new_height", "params", "method")
+)
 def warp_batch_by_attention(
     images: jnp.ndarray,
     att_maps: jnp.ndarray,
     new_width: int,
     new_height: int,
     params: WarpParams = WarpParams(),
+    method: str = "mm",
 ) -> jnp.ndarray:
     """Batched fused warp: ``images (B, H, W[, C])``, ``att_maps (B, h, w)``.
+
+    ``method``: ``"mm"`` (default) resamples via two MXU interpolation-matrix
+    matmuls — the TPU throughput path (~6x the gather form, ~1e-4 relative of
+    it); ``"gather"`` is the exact-parity path.
 
     If the attention resolution differs from the image resolution the
     marginals are computed at attention resolution and inverted directly to
@@ -79,10 +96,12 @@ def warp_batch_by_attention(
     """
     if att_maps.shape[-2:] == images.shape[1:3]:
         return jax.vmap(
-            lambda im, am: _single_warp(im, am, new_width, new_height, params)
+            lambda im, am: _single_warp(im, am, new_width, new_height, params, method)
         )(images, att_maps)
     return jax.vmap(
-        lambda im, am: _single_warp_lowres_att(im, am, new_width, new_height, params)
+        lambda im, am: _single_warp_lowres_att(
+            im, am, new_width, new_height, params, method
+        )
     )(images, att_maps)
 
 
@@ -92,6 +111,7 @@ def _single_warp_lowres_att(
     new_width: int,
     new_height: int,
     params: WarpParams,
+    method: str = "gather",
 ) -> jnp.ndarray:
     """Warp with an attention map at a coarser resolution than the image.
 
@@ -109,7 +129,7 @@ def _single_warp_lowres_att(
     h, w = att_map.shape[-2], att_map.shape[-1]
     map_x = inverse_axis_map(profile_x, total_x, new_width) * (W / w)
     map_y = inverse_axis_map(profile_y, total_y, new_height) * (H / h)
-    return remap_bilinear_separable(image, map_x, map_y)
+    return _resample(image, map_x, map_y, method)
 
 
 @partial(jax.jit, static_argnames=("out_size", "tie_jitter"))

@@ -10,6 +10,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The container preloads jax (sitecustomize registers the axon TPU plugin),
+# so the env var alone can be too late — force the platform via jax.config
+# before any backend initialization.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
