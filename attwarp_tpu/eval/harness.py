@@ -1,0 +1,179 @@
+"""TextVQA accuracy harness over processed-dataset metadata.
+
+Parity with ``evaluate_accuracy.py:275-473``: consumes the drivers'
+``saved_paths`` metadata contract (``warped_image_identity``), runs the MLLM
+on each warped image with the reference's prompt suffix, scores with the
+binary VQA accuracy at threshold=1, and writes the same artifact set —
+per-sample detailed txt log, moving-average CSV every 10 samples, interim
+JSON every 100, final JSON + summary txt.
+
+Inference goes through a duck-typed backend exposing
+``answer(image_rgb: np.ndarray, question: str, max_new_tokens: int) -> str``
+(the TPU JAX MLLM; the mini test backend in attwarp_tpu.extract works too).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from attwarp_tpu.eval.vqa_text import calculate_vqa_accuracy
+
+ANSWER_SUFFIX = "Answer in a single word or key phrase."
+
+
+class ExtractionAnswerBackend:
+    """Adapts an attention-extraction backend (``extract(images, questions)``)
+    to the harness's ``answer`` interface."""
+
+    def __init__(self, backend, max_new_tokens: int = 64):
+        self.backend = backend
+        self.max_new_tokens = max_new_tokens
+
+    def answer(self, image_rgb: np.ndarray, question: str, max_new_tokens: Optional[int] = None) -> str:
+        from attwarp_tpu.extract.extraction import _resize_for_backend
+
+        img = _resize_for_backend(image_rgb, self.backend.image_size)
+        _maps, texts = self.backend.extract(
+            img[None],
+            [question + ANSWER_SUFFIX],
+            max_new_tokens=max_new_tokens or self.max_new_tokens,
+        )
+        return texts[0]
+
+
+def evaluate_textvqa_accuracy(
+    metadata_dir: str,
+    output_dir: str,
+    backend,
+    model_name: str = "attwarp-tpu-mllm",
+    max_new_tokens: int = 64,
+    limit: Optional[int] = None,
+) -> Dict:
+    os.makedirs(output_dir, exist_ok=True)
+    ts = time.strftime("%Y%m%d_%H%M%S")
+    moving_avg_log = os.path.join(output_dir, f"textvqa_moving_accuracy_{ts}.csv")
+    detailed_log = os.path.join(output_dir, f"textvqa_detailed_log_{ts}.txt")
+
+    with open(detailed_log, "w", encoding="utf-8") as f:
+        f.write("TEXTVQA FULL EVALUATION - DETAILED LOG\n")
+        f.write(f"Model: {model_name}\n")
+        f.write(f"Timestamp: {time.strftime('%Y-%m-%d %H:%M:%S')}\n")
+        f.write(
+            "Evaluation Metric: Standard VQA accuracy with text preprocessing "
+            "(min(0.3*n, 1), n=matching answers)\n"
+        )
+        f.write("=" * 80 + "\n\n")
+
+    files = sorted(glob.glob(os.path.join(metadata_dir, "*.json")))
+    if limit:
+        files = files[:limit]
+    if not files:
+        raise FileNotFoundError(f"No metadata JSON files found in {metadata_dir}")
+
+    overall = {"warped": {"correct": 0, "total": 0}}
+    detailed: List[Dict] = []
+    counter = 0
+
+    for path in files:
+        try:
+            with open(path, "r", encoding="utf-8") as f:
+                meta = json.load(f)
+            sample_id = meta.get("sample_id")
+            question = meta.get("question")
+            gts = meta.get("answers")
+            saved = meta.get("saved_paths", {})
+            warped_path = saved.get("warped_image_identity")
+            if not sample_id or not question or not isinstance(gts, list) or not gts:
+                continue
+            if not warped_path or not os.path.exists(warped_path):
+                continue
+            gts = [str(g).strip() for g in gts]
+
+            with Image.open(warped_path) as im:
+                img = np.asarray(im.convert("RGB"))
+            raw = backend.answer(img, question, max_new_tokens)
+            if raw is None:
+                continue
+            pred = raw.strip()
+            correct = calculate_vqa_accuracy(pred, gts, threshold=1)
+
+            overall["warped"]["total"] += 1
+            overall["warped"]["correct"] += int(correct)
+            counter += 1
+            detailed.append(
+                {
+                    "sample_id": sample_id,
+                    "question": question,
+                    "ground_truth_answers": gts,
+                    "warped_answer": raw,
+                    "warped_correct": bool(correct),
+                }
+            )
+
+            tot = overall["warped"]["total"]
+            cor = overall["warped"]["correct"]
+            with open(detailed_log, "a", encoding="utf-8") as f:
+                f.write("\n" + "=" * 80 + "\n")
+                f.write(f"SAMPLE: {sample_id} - {time.strftime('%Y-%m-%d %H:%M:%S')}\n")
+                f.write("-" * 80 + "\n")
+                f.write(f"QUESTION: {question}\n\n")
+                f.write(f"GROUND TRUTH ANSWERS: {gts}\n\n")
+                f.write(f"WARPED IMAGE ANSWER:   {raw} (Correct: {correct})\n\n")
+                f.write("CURRENT OVERALL STATS:\n")
+                f.write(f"  Warped accuracy:   {cor / max(1, tot):.4f} ({cor}/{tot})\n")
+
+            if counter % 10 == 0:
+                exists = os.path.exists(moving_avg_log)
+                with open(moving_avg_log, "a") as f:
+                    if not exists:
+                        f.write("Timestamp,Iteration,Total_Samples,Warped_Accuracy\n")
+                    f.write(
+                        f"{time.strftime('%Y-%m-%d %H:%M:%S')},{counter},{tot},"
+                        f"{cor / max(1, tot):.4f}\n"
+                    )
+            if counter % 100 == 0:
+                interim = {
+                    "model": model_name,
+                    "overall_warped_accuracy": cor / max(1, tot),
+                    "total_samples_processed": tot,
+                    "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+                }
+                with open(
+                    os.path.join(output_dir, f"textvqa_interim_results_{ts}_{counter}.json"),
+                    "w",
+                ) as f:
+                    json.dump(interim, f, indent=2)
+        except Exception as e:
+            print(f"Error processing {path}: {e}. Skipping.")
+            continue
+
+    tot = overall["warped"]["total"]
+    cor = overall["warped"]["correct"]
+    acc = cor / tot if tot else 0.0
+    final = {
+        "model": model_name,
+        "dataset": "TextVQA",
+        "evaluation_metric": (
+            "Standard VQA accuracy with text preprocessing "
+            "(min(0.3*n, 1), n=matching answers)"
+        ),
+        "overall_warped_accuracy": acc,
+        "total_samples_evaluated": tot,
+        "detailed_results": detailed,
+    }
+    with open(os.path.join(output_dir, f"textvqa_accuracy_{ts}.json"), "w", encoding="utf-8") as f:
+        json.dump(final, f, indent=2, ensure_ascii=False)
+    with open(os.path.join(output_dir, f"textvqa_accuracy_{ts}_summary.txt"), "w", encoding="utf-8") as f:
+        f.write("TextVQA Accuracy Evaluation\n")
+        f.write(f"Model: {model_name}\n")
+        f.write(f"Total samples evaluated: {tot}\n")
+        f.write(f"Evaluation Metric: {final['evaluation_metric']}\n\n")
+        f.write(f"Overall accuracy on warped images: {acc:.4f} ({cor}/{tot})\n")
+    return final

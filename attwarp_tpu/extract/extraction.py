@@ -1,0 +1,149 @@
+"""User-facing attention-extraction API.
+
+- ``extract_attention``: the ``getmask`` / ``getmask_batch`` equivalent
+  (functions.py:46-186, 188-328) — one batched call covers both.
+- ``llava_api``: the one-call convenience of the reference
+  (llava.py:272-331): (images, questions) -> (overlays, attention maps
+  (B,1,24,24), mota masks).
+
+Backends are duck-typed: anything with ``tokenizer``, ``prepare(images,
+prompts)`` and ``generate(...)`` works; ``MiniLLaVABackend`` is the
+self-contained test backend, ``attwarp_tpu.extract.llava_flax`` the
+real-weights adapter.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attwarp_tpu.extract import mini_llava
+from attwarp_tpu.extract.mini_llava import (
+    HashTokenizer,
+    MiniLLaVAConfig,
+    build_spliced_embeds,
+    generate_with_attention,
+    init_params,
+)
+from attwarp_tpu.extract.offsets import left_pad
+from attwarp_tpu.extract.prompts import build_prompt, infer_conv_mode, stop_str_for
+
+
+class MiniLLaVABackend:
+    """Self-contained test MLLM (no external weights)."""
+
+    def __init__(self, cfg: Optional[MiniLLaVAConfig] = None, seed: int = 0):
+        self.cfg = cfg or MiniLLaVAConfig()
+        self.params = init_params(self.cfg, jax.random.PRNGKey(seed))
+        self.tokenizer = HashTokenizer(self.cfg)
+        self.conv_mode = "llava_v1"
+
+    @property
+    def image_size(self) -> int:
+        return self.cfg.image_size
+
+    def extract(
+        self,
+        images: np.ndarray,      # (B, H, W, 3) float in [0,1] or uint8
+        questions: Sequence[str],
+        max_new_tokens: int = 20,
+    ) -> Tuple[np.ndarray, List[str]]:
+        """(attention maps (B, 24, 24), decoded answers)."""
+        prompts = [build_prompt(q, self.conv_mode) for q in questions]
+        ids = [self.tokenizer.encode(p) for p in prompts]
+        padded, _mask = left_pad(ids, pad_id=self.cfg.pad_id)
+        padded = np.asarray(padded, np.int64)
+        imgs = jnp.asarray(images, jnp.float32)
+        if imgs.ndim == 3:
+            imgs = imgs[None]
+        embeds, pos_mask, img_start = build_spliced_embeds(
+            self.params, self.cfg, padded, imgs
+        )
+        gen, maps = generate_with_attention(
+            self.params, self.cfg, embeds, pos_mask, img_start,
+            max_new_tokens=max_new_tokens,
+        )
+        gen = np.asarray(gen)
+        stop = stop_str_for(self.conv_mode)
+        texts = []
+        for row in gen:
+            ids_out = []
+            for t in row:
+                if int(t) == self.cfg.eos_id:
+                    break
+                ids_out.append(int(t))
+            text = self.tokenizer.decode(ids_out).strip()
+            if text.endswith(stop):
+                text = text[: -len(stop)].strip()
+            texts.append(text)
+        return np.asarray(maps), texts
+
+
+def extract_attention(
+    backend,
+    images: np.ndarray,
+    questions: Sequence[str],
+    max_new_tokens: int = 20,
+) -> Tuple[np.ndarray, List[str]]:
+    """getmask/getmask_batch equivalent: returns ((B, 24, 24) maps, texts)."""
+    return backend.extract(images, questions, max_new_tokens=max_new_tokens)
+
+
+def llava_api(
+    images: Sequence[np.ndarray],
+    queries: Sequence[str],
+    backend=None,
+    batch_size: int = 1,
+    enhance_coe: float = 10.0,
+    kernel_size: int = 3,
+    grayscale: float = 0.0,
+    max_new_tokens: int = 20,
+):
+    """One-call convenience API (reference llava.py:272-331).
+
+    Returns (masked_images, attention_maps, mota_masks): overlay RGB arrays,
+    (1, 1, 24, 24) float maps, and image-size uint8 MOTA masks.
+    """
+    from attwarp_tpu.warp.blend import blend_mask
+
+    backend = backend or MiniLLaVABackend()
+    masked_images, attention_maps, mota_masks = [], [], []
+    n = len(images)
+    for i in range(0, n, max(batch_size, 1)):
+        chunk_imgs = list(images[i : i + batch_size])
+        chunk_qs = list(queries[i : i + batch_size])
+        batch = np.stack(
+            [_resize_for_backend(im, backend.image_size) for im in chunk_imgs]
+        )
+        maps, _texts = extract_attention(
+            backend, batch, chunk_qs, max_new_tokens=max_new_tokens
+        )
+        for im, m in zip(chunk_imgs, maps):
+            im8 = _to_uint8_rgb(im)
+            overlay, mota = blend_mask(
+                im8, jnp.asarray(m), enhance_coe, kernel_size, grayscale
+            )
+            masked_images.append(overlay)
+            attention_maps.append(np.asarray(m)[None, None])  # (1,1,24,24)
+            mota_masks.append(mota)
+    return masked_images, attention_maps, mota_masks
+
+
+def _to_uint8_rgb(im: np.ndarray) -> np.ndarray:
+    im = np.asarray(im)
+    if im.dtype == np.uint8:
+        return im
+    return np.clip(np.rint(im * 255.0 if im.max() <= 1.0 else im), 0, 255).astype(np.uint8)
+
+
+def _resize_for_backend(im: np.ndarray, size: int) -> np.ndarray:
+    im = np.asarray(im, np.float32)
+    if im.max() > 1.5:
+        im = im / 255.0
+    if im.shape[0] == size and im.shape[1] == size:
+        return im
+    out = jax.image.resize(jnp.asarray(im), (size, size, im.shape[2]), method="linear")
+    return np.asarray(out)

@@ -1,0 +1,152 @@
+"""Data subsystem tests over synthetic manifest trees."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from attwarp_tpu.data import (
+    FullDataset,
+    GQA_CATEGORY_TO_TRANSFORM,
+    ProgressManifest,
+    TextVQADataset,
+    batch_iterator,
+    collate,
+    select_artifact,
+    transform_for_sample,
+)
+from attwarp_tpu.data.loader import split_indices
+
+
+def _make_root(tmp_path, name, n, rng, with_bucket=False):
+    root = tmp_path / name
+    (root / "logs").mkdir(parents=True)
+    (root / "npy").mkdir()
+    (root / "images").mkdir()
+    entries = []
+    for i in range(n):
+        img_path = str(root / "images" / f"im{i}.png")
+        Image.fromarray((rng.random((32, 40, 3)) * 255).astype(np.uint8)).save(img_path)
+        npy_path = str(root / "npy" / f"att{i}.npy")
+        np.save(npy_path, (rng.random((24, 24)) * 3).astype(np.float32))
+        entry = {
+            "question": f"q{i}?",
+            "answer": f"a{i}",
+            "image_path": img_path,
+            "question_id": f"{name}-{i}",
+            "artifacts": [
+                {"type": "relative", "layer": 16, "npy_path": npy_path},
+                {"type": "absolute", "layer": 20, "npy_path": npy_path},
+            ],
+        }
+        if with_bucket:
+            entry["bucket"] = "query_rel" if i % 2 == 0 else "logical_attr"
+        entries.append(entry)
+    with open(root / "logs" / "metadata.jsonl", "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+    return str(root)
+
+
+def test_full_dataset_and_collate(tmp_path, rng):
+    gqa = _make_root(tmp_path, "gqa", 6, rng, with_bucket=True)
+    tv = _make_root(tmp_path, "textvqa", 6, rng)
+    dv = _make_root(tmp_path, "docvqa", 6, rng)
+    ds = FullDataset(gqa, tv, dv, num_samples_per_dataset=4, image_size=48, random_seed=13)
+    assert len(ds) == 12
+    item = ds[0]
+    assert item["image"].shape == (48, 48, 3)
+    assert item["attention_map"].shape == (48, 48)
+    assert 0.0 <= item["attention_map"].max() <= 1.0
+
+    # deterministic sampling for fixed seed
+    ds2 = FullDataset(gqa, tv, dv, num_samples_per_dataset=4, image_size=48, random_seed=13)
+    assert [s.get("question_id") for s, _ in ds.samples] == [
+        s.get("question_id") for s, _ in ds2.samples
+    ]
+
+    batch = collate([ds[i] for i in range(4)])
+    assert batch["image"].shape == (4, 48, 48, 3)
+    assert batch["sqrt_mask"].shape == (4,)
+    for i in range(4):
+        t = transform_for_sample(batch["dataset"][i], batch["bucket"][i], GQA_CATEGORY_TO_TRANSFORM)
+        assert batch["sqrt_mask"][i] == (1.0 if t == "sqrt" else 0.0)
+        assert batch["none_mask"][i] == (1.0 if t == "none" else 0.0)
+
+
+def test_full_dataset_insufficient_samples(tmp_path, rng):
+    gqa = _make_root(tmp_path, "gqa2", 2, rng)
+    with pytest.raises(ValueError):
+        FullDataset(gqa, gqa, gqa, num_samples_per_dataset=5)
+
+
+def test_select_artifact_fallbacks():
+    arts = [
+        {"type": "relative", "layer": 8, "npy_path": "a"},
+        {"type": "relative", "layer": 20, "npy_path": "b"},
+        {"type": "absolute", "layer": 16, "npy_path": "c"},
+    ]
+    assert select_artifact(arts, 20, "relative")["npy_path"] == "b"
+    # no exact layer -> highest layer of same type
+    assert select_artifact(arts, 16, "relative")["npy_path"] == "b"
+    # unknown type -> fall back to ALL artifacts, exact layer wins
+    assert select_artifact(arts, 16, "weird")["npy_path"] == "c"
+    assert select_artifact([], 16, "relative") is None
+
+
+def test_transform_routing():
+    m = GQA_CATEGORY_TO_TRANSFORM
+    assert transform_for_sample("gqa", "query_rel", m) == "sqrt"
+    assert transform_for_sample("gqa", "logical_attr", m) == "none"
+    assert transform_for_sample("gqa", "unknown_bucket", m) == "sqrt"
+    assert transform_for_sample("textvqa", None, m) == "iden"
+    assert transform_for_sample(None, None, m) == "iden"
+
+
+def test_batch_iterator_and_split(tmp_path, rng):
+    gqa = _make_root(tmp_path, "g3", 5, rng)
+    ds = FullDataset(gqa, gqa, gqa, num_samples_per_dataset=4, image_size=32, random_seed=1)
+    train_idx, val_idx = split_indices(len(ds), 0.25, seed=1)
+    assert len(train_idx) + len(val_idx) == 12
+    batches = list(batch_iterator(ds, train_idx, batch_size=4, shuffle=True, seed=0))
+    assert all(b["image"].shape[0] == 4 for b in batches)
+    assert len(batches) == len(train_idx) // 4
+
+
+def test_progress_manifest_roundtrip(tmp_path):
+    p = str(tmp_path / "progress.json")
+    m = ProgressManifest(p)
+    assert m.remaining(5) == [0, 1, 2, 3, 4]
+    m.mark(0)
+    m.mark(2, failed=True)
+    m2 = ProgressManifest(p)
+    assert m2.processed_count == 1 and m2.failed_count == 1
+    assert m2.remaining(5) == [1, 3, 4]
+    assert m2.last_processed_internal_idx == 2
+    m2.mark_many([1, 3, 4])
+    m3 = ProgressManifest(p)
+    assert m3.remaining(5) == []
+
+
+def test_textvqa_reader(tmp_path, rng):
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray((rng.random((20, 20, 3)) * 255).astype(np.uint8)).save(img_dir / "img1.jpg")
+    data = {
+        "dataset_type": "textvqa",
+        "dataset_name": "TextVQA",
+        "dataset_version": "0.5.1",
+        "data": [
+            {"image_id": "img1", "question": "what?", "answers": ["x"] * 10},
+            {"image_id": "missing", "question": "huh?", "answers": ["y"] * 10},
+        ],
+    }
+    jp = tmp_path / "tv.json"
+    jp.write_text(json.dumps(data))
+    ds = TextVQADataset(str(jp), str(img_dir))
+    assert len(ds) == 2
+    assert ds[0]["loaded_image"] is not None
+    assert ds[0]["loaded_image"].shape == (20, 20, 3)
+    assert ds[1]["loaded_image"] is None
