@@ -1,0 +1,53 @@
+"""TextVQA accuracy evaluation CLI (C15).
+
+Parity with ``evaluate_accuracy.py``'s entry point: consumes a processed
+dataset's ``metadata/`` directory and scores the warped images.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        "Evaluate MLLM accuracy on TextVQA (warped images)"
+    )
+    p.add_argument("--metadata-dir", required=True)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--model", type=str, default="mini",
+                   help="MLLM backend ('mini' = test backend)")
+    p.add_argument("--max-new-tokens", type=int, default=64)
+    p.add_argument("--limit", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from attwarp_tpu.cli.process_dataset import make_backend
+    from attwarp_tpu.eval.harness import (
+        ExtractionAnswerBackend,
+        evaluate_textvqa_accuracy,
+    )
+
+    backend = ExtractionAnswerBackend(
+        make_backend(args.model, layer_index=20), max_new_tokens=args.max_new_tokens
+    )
+    res = evaluate_textvqa_accuracy(
+        args.metadata_dir,
+        args.output_dir,
+        backend,
+        model_name=args.model,
+        max_new_tokens=args.max_new_tokens,
+        limit=args.limit,
+    )
+    print(
+        f"Overall Warped Accuracy: {res['overall_warped_accuracy']:.4f} "
+        f"({res['total_samples_evaluated']} samples)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,263 @@
+"""Dataset processing driver (sequential + batched).
+
+Parity with ``main.py:203-580`` and ``main_batched.py:123-314``: walks
+TextVQA, extracts per-sample 24×24 attention, writes the full artifact set —
+
+    original_images/{sid}_original.png
+    masked_images/{sid}_masked.png               (JET overlay)
+    raw_attention_maps/{sid}_raw_attn.npy        ((1,1,24,24) float)
+    attention_maps_images/{sid}_attn_map_img.png (raw map as image)
+    attention_maps/{sid}_mota_mask_vis.png       (grayscale MOTA mask)
+    attention_maps/{sid}_mota_mask.npy
+    warped_images/{sid}_identity.png             (500×500 identity warp)
+    metadata/{sid}_metadata.json                 (saved_paths contract)
+
+— with resumable progress (JSON manifest, SIGINT/atexit flush) and the
+batched path's failure ladder: batch extraction error -> per-sample retry ->
+uniform attention map as last resort (main_batched.py:214-233).
+
+On TPU the warp + mask pipeline is batched and jitted; extraction batches
+through the MLLM backend (``--backend mini`` is the test backend; a real
+LLaVA backend plugs in via the same interface).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from attwarp_tpu.data.progress import ProgressManifest
+from attwarp_tpu.data.textvqa import TextVQADataset
+from attwarp_tpu.eval.harness import ANSWER_SUFFIX  # noqa: F401 (re-export convenience)
+from attwarp_tpu.warp.blend import blend_mask
+from attwarp_tpu.warp.io import save_warped_image
+
+DEFAULT_WIDTH = 500
+DEFAULT_HEIGHT = 500
+
+ARTIFACT_DIRS = (
+    "attention_maps",
+    "warped_images",
+    "visualizations",
+    "original_images",
+    "metadata",
+    "masked_images",
+    "attention_maps_images",
+    "raw_attention_maps",
+    "checkpoints",
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("attwarp process-dataset")
+    p.add_argument("--textvqa-json", required=True)
+    p.add_argument("--image-dir", required=True)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--batch-size", type=int, default=32,
+                   help="1 = sequential driver semantics; >1 = batched")
+    p.add_argument("--layer-index", type=int, default=20)
+    p.add_argument("--max-new-tokens", type=int, default=20)
+    p.add_argument("--enhance-coe", type=float, default=10.0)
+    p.add_argument("--kernel-size", type=int, default=3)
+    p.add_argument("--width", type=int, default=DEFAULT_WIDTH)
+    p.add_argument("--height", type=int, default=DEFAULT_HEIGHT)
+    p.add_argument("--limit", type=int, default=None, help="Process at most N samples")
+    p.add_argument("--backend", default="mini", choices=["mini"],
+                   help="MLLM backend (mini = self-contained test backend)")
+    return p
+
+
+def make_backend(name: str, layer_index: int):
+    if name == "mini":
+        from attwarp_tpu.extract.extraction import MiniLLaVABackend
+        from attwarp_tpu.extract.mini_llava import MiniLLaVAConfig
+
+        # layer_index maps onto the mini model's extract layer (clamped)
+        cfg = MiniLLaVAConfig()
+        cfg = MiniLLaVAConfig(extract_layer=min(layer_index, cfg.n_layers - 1))
+        return MiniLLaVABackend(cfg)
+    raise ValueError(f"unknown backend {name}")
+
+
+def _extract_with_fallback(backend, images: np.ndarray, questions: List[str],
+                           max_new_tokens: int):
+    """Batch extract; on failure retry per-sample; uniform map last resort."""
+    try:
+        return backend.extract(images, questions, max_new_tokens=max_new_tokens)
+    except Exception as e:
+        print(f"Batch extraction failed ({e}); retrying per-sample.")
+    maps, texts = [], []
+    n_side = int(np.sqrt(576))
+    for i in range(images.shape[0]):
+        try:
+            m, t = backend.extract(images[i : i + 1], [questions[i]],
+                                   max_new_tokens=max_new_tokens)
+            maps.append(m[0])
+            texts.append(t[0])
+        except Exception as e2:
+            print(f"Per-sample extraction failed ({e2}); uniform map fallback.")
+            maps.append(np.full((n_side, n_side), 1.0 / 576, np.float32))
+            texts.append("")
+    return np.stack(maps), texts
+
+
+def process_dataset(
+    textvqa_json: str,
+    image_dir: str,
+    output_dir: str,
+    backend,
+    batch_size: int = 32,
+    max_new_tokens: int = 20,
+    enhance_coe: float = 10.0,
+    kernel_size: int = 3,
+    width: int = DEFAULT_WIDTH,
+    height: int = DEFAULT_HEIGHT,
+    limit: Optional[int] = None,
+) -> dict:
+    dirs = {}
+    for d in ARTIFACT_DIRS:
+        dirs[d] = os.path.join(output_dir, d)
+        os.makedirs(dirs[d], exist_ok=True)
+
+    dataset = TextVQADataset(textvqa_json, image_dir)
+    samples = []
+    for idx in range(len(dataset)):
+        entry = dataset[idx]
+        if entry.get("loaded_image") is None or not entry.get("question"):
+            continue
+        meta = {k: v for k, v in entry.items() if k != "loaded_image"}
+        meta["original_index"] = idx
+        samples.append((entry["loaded_image"], entry["question"], meta))
+        if limit and len(samples) >= limit:
+            break
+    if not samples:
+        print("No valid samples.")
+        return {"processed": 0, "failed": 0}
+
+    progress = ProgressManifest(
+        os.path.join(dirs["checkpoints"], "processing_progress.json")
+    )
+    progress.install_handlers()
+    remaining = progress.remaining(len(samples))
+    print(f"Processing {len(remaining)} of {len(samples)} samples.")
+
+    from attwarp_tpu.extract.extraction import _resize_for_backend
+
+    for start in range(0, len(remaining), max(batch_size, 1)):
+        chunk = remaining[start : start + max(batch_size, 1)]
+        imgs = [samples[i][0] for i in chunk]
+        qs = [samples[i][1] for i in chunk]
+        batch = np.stack([_resize_for_backend(im, backend.image_size) for im in imgs])
+        maps, _texts = _extract_with_fallback(backend, batch, qs, max_new_tokens)
+
+        for k, i in enumerate(chunk):
+            image, question, meta = samples[i]
+            image_id = meta.get("image_id", f"sample{i}")
+            sid = f"{image_id}_{meta['original_index']}"
+            att = np.asarray(maps[k], np.float32)
+            failed = False
+            saved = {
+                "original_image": None,
+                "masked_image": None,
+                "attention_map_image_from_api": None,
+                "raw_attention_map_npy": None,
+                "mota_mask_visualization": None,
+                "mota_mask_npy": None,
+                "warped_image_identity": None,
+            }
+            try:
+                orig_path = os.path.join(dirs["original_images"], f"{sid}_original.png")
+                Image.fromarray(np.asarray(image, np.uint8)).save(orig_path)
+                saved["original_image"] = orig_path
+
+                raw_path = os.path.join(dirs["raw_attention_maps"], f"{sid}_raw_attn.npy")
+                np.save(raw_path, att[None, None])  # (1,1,24,24)
+                saved["raw_attention_map_npy"] = raw_path
+
+                attn_img_path = os.path.join(
+                    dirs["attention_maps_images"], f"{sid}_attn_map_img.png"
+                )
+                a = att - att.min()
+                a = a / max(a.max(), 1e-12)
+                Image.fromarray((a * 255).astype(np.uint8), mode="L").save(attn_img_path)
+                saved["attention_map_image_from_api"] = attn_img_path
+
+                overlay, mota = blend_mask(
+                    np.asarray(image, np.uint8), jnp.asarray(att),
+                    enhance_coe, kernel_size,
+                )
+                masked_path = os.path.join(dirs["masked_images"], f"{sid}_masked.png")
+                Image.fromarray(overlay).save(masked_path)
+                saved["masked_image"] = masked_path
+
+                mota_vis = os.path.join(dirs["attention_maps"], f"{sid}_mota_mask_vis.png")
+                Image.fromarray(mota, mode="L").save(mota_vis)
+                saved["mota_mask_visualization"] = mota_vis
+                mota_npy = os.path.join(dirs["attention_maps"], f"{sid}_mota_mask.npy")
+                np.save(mota_npy, mota)
+                saved["mota_mask_npy"] = mota_npy
+
+                warped_path = os.path.join(dirs["warped_images"], f"{sid}_identity.png")
+                ok = save_warped_image(
+                    image_path=np.asarray(image, np.uint8),
+                    att_map=mota,
+                    original_image_save_path=None,
+                    masked_overlay_save_path=None,
+                    output_path=warped_path,
+                    width=width,
+                    height=height,
+                    transform="identity",
+                )
+                if ok:
+                    saved["warped_image_identity"] = warped_path
+            except Exception as e:
+                print(f"Error processing {sid}: {e}")
+                failed = True
+            finally:
+                meta_out = dict(meta)
+                meta_out["sample_id"] = sid
+                meta_out["api_model_name"] = getattr(backend, "name", "mini-llava")
+                meta_out["saved_paths"] = saved
+                meta_path = os.path.join(dirs["metadata"], f"{sid}_metadata.json")
+                try:
+                    with open(meta_path, "w", encoding="utf-8") as f:
+                        json.dump(meta_out, f, indent=2, ensure_ascii=False, default=str)
+                except Exception as e:
+                    print(f"Critical: metadata save failed for {sid}: {e}")
+                    failed = True
+                progress.mark(i, failed=failed)
+
+    print(
+        f"Done. processed={progress.processed_count} failed={progress.failed_count}"
+    )
+    return {"processed": progress.processed_count, "failed": progress.failed_count}
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    backend = make_backend(args.backend, args.layer_index)
+    stats = process_dataset(
+        args.textvqa_json,
+        args.image_dir,
+        args.output_dir,
+        backend,
+        batch_size=args.batch_size,
+        max_new_tokens=args.max_new_tokens,
+        enhance_coe=args.enhance_coe,
+        kernel_size=args.kernel_size,
+        width=args.width,
+        height=args.height,
+        limit=args.limit,
+    )
+    return 0 if stats["failed"] == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
