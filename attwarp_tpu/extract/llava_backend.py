@@ -1,0 +1,165 @@
+"""Real-weights LLaVA extraction backend.
+
+Wraps ``attwarp_tpu.models.llava`` (the JAX LLaVA, HF-weight-ported and
+parity-tested) behind the same duck-typed interface as the mini test
+backend: ``extract(images, questions) -> (maps (B, 24, 24), texts)``.
+
+Loading goes through transformers only for checkpoint IO + tokenization:
+
+    backend = LlavaBackend.from_hf("llava-hf/llava-1.5-7b-hf")
+
+In a zero-egress environment the checkpoint must already be on disk (a local
+path works the same way). The ids-level API (``extract_from_ids``) has no
+tokenizer dependency and is what the drivers use after their own prompt
+assembly.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attwarp_tpu.extract.prompts import build_prompt
+from attwarp_tpu.models.clip_vit import CLIP_MEAN, CLIP_STD, ClipVisionConfig
+from attwarp_tpu.models.llama import LlamaConfig
+from attwarp_tpu.models.llava import LlavaConfig, LlavaModel, port_hf_llava_weights
+
+
+class LlavaBackend:
+    def __init__(self, model: LlavaModel, tokenizer=None, image_processor=None,
+                 extract_layer: int = 20):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.image_processor = image_processor
+        self.extract_layer = extract_layer
+        self.name = "llava-jax"
+
+    # ── loading ────────────────────────────────────────────────────────
+    @classmethod
+    def from_hf(cls, model_path: str, extract_layer: int = 20) -> "LlavaBackend":
+        """Load an HF LLaVA checkpoint (local path or hub id) and port it."""
+        import torch
+        from transformers import AutoProcessor, LlavaForConditionalGeneration
+
+        hf = LlavaForConditionalGeneration.from_pretrained(
+            model_path, torch_dtype=torch.float32, low_cpu_mem_usage=True
+        )
+        processor = AutoProcessor.from_pretrained(model_path)
+        cfg = cls.config_from_hf(hf.config)
+        params = port_hf_llava_weights(hf.state_dict(), cfg)
+        del hf
+        return cls(
+            LlavaModel(cfg, params),
+            tokenizer=processor.tokenizer,
+            image_processor=processor.image_processor,
+            extract_layer=extract_layer,
+        )
+
+    @staticmethod
+    def config_from_hf(hf_cfg) -> LlavaConfig:
+        v, t = hf_cfg.vision_config, hf_cfg.text_config
+        return LlavaConfig(
+            vision=ClipVisionConfig(
+                hidden_size=v.hidden_size,
+                intermediate_size=v.intermediate_size,
+                num_hidden_layers=v.num_hidden_layers,
+                num_attention_heads=v.num_attention_heads,
+                image_size=v.image_size,
+                patch_size=v.patch_size,
+                hidden_act=getattr(v, "hidden_act", "quick_gelu"),
+            ),
+            text=LlamaConfig(
+                vocab_size=t.vocab_size,
+                hidden_size=t.hidden_size,
+                intermediate_size=t.intermediate_size,
+                num_hidden_layers=t.num_hidden_layers,
+                num_attention_heads=t.num_attention_heads,
+                num_key_value_heads=getattr(t, "num_key_value_heads", None),
+                rms_norm_eps=getattr(t, "rms_norm_eps", 1e-5),
+                rope_theta=getattr(t, "rope_theta", 10000.0),
+            ),
+            vision_feature_layer=getattr(hf_cfg, "vision_feature_layer", -2),
+            image_token_index=hf_cfg.image_token_index,
+            eos_token_id=getattr(hf_cfg.text_config, "eos_token_id", 2) or 2,
+        )
+
+    # ── properties ─────────────────────────────────────────────────────
+    @property
+    def image_size(self) -> int:
+        return self.model.cfg.vision.image_size
+
+    @property
+    def num_patches_side(self) -> int:
+        return self.model.cfg.vision.image_size // self.model.cfg.vision.patch_size
+
+    # ── ids-level extraction (no tokenizer needed) ─────────────────────
+    def extract_from_ids(
+        self,
+        input_ids: np.ndarray,       # (B, T) HF-expanded image tokens, left-padded
+        attention_mask: np.ndarray,  # (B, T)
+        pixel_values: np.ndarray,    # (B, S, S, 3) CLIP-normalized NHWC
+        max_new_tokens: int = 20,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (generated ids (B, K), attention maps (B, n, n))."""
+        ids = np.asarray(input_ids)
+        img_start = np.argmax(ids == self.model.cfg.image_token_index, axis=1)
+        gen, maps = self.model.generate_with_attention(
+            jnp.asarray(ids),
+            jnp.asarray(pixel_values, jnp.float32),
+            jnp.asarray(attention_mask, bool),
+            jnp.asarray(img_start, jnp.int32),
+            extract_layer=self.extract_layer,
+            max_new_tokens=max_new_tokens,
+        )
+        return np.asarray(gen), np.asarray(maps)
+
+    # ── full extraction (needs tokenizer + image processor) ────────────
+    def extract(
+        self,
+        images: np.ndarray,          # (B, H, W, 3) float [0,1] or uint8
+        questions: Sequence[str],
+        max_new_tokens: int = 20,
+    ) -> Tuple[np.ndarray, List[str]]:
+        if self.tokenizer is None:
+            raise RuntimeError(
+                "LlavaBackend.extract needs a tokenizer; load via from_hf or "
+                "use extract_from_ids."
+            )
+        prompts = [build_prompt(q, "llava_v1") for q in questions]
+        ids_list = []
+        for p in prompts:
+            # expand <image> into num_image_tokens image-token ids (HF style)
+            pre, post = p.split("<image>")
+            ids = (
+                self.tokenizer(pre, add_special_tokens=True)["input_ids"]
+                + [self.model.cfg.image_token_index] * self.model.cfg.num_image_tokens
+                + self.tokenizer(post, add_special_tokens=False)["input_ids"]
+            )
+            ids_list.append(ids)
+        from attwarp_tpu.extract.offsets import left_pad
+
+        padded, mask = left_pad(ids_list, pad_id=self.model.cfg.pad_token_id)
+        pixels = np.stack([self._preprocess(im) for im in images])
+        gen, maps = self.extract_from_ids(
+            np.asarray(padded), np.asarray(mask), pixels, max_new_tokens
+        )
+        texts = []
+        for row in gen:
+            out = []
+            for t in row:
+                if int(t) == self.model.cfg.eos_token_id:
+                    break
+                out.append(int(t))
+            texts.append(self.tokenizer.decode(out, skip_special_tokens=True).strip())
+        return maps, texts
+
+    def _preprocess(self, image: np.ndarray) -> np.ndarray:
+        img = np.asarray(image, np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        S = self.image_size
+        out = jax.image.resize(jnp.asarray(img), (S, S, 3), "linear")
+        return np.asarray((out - CLIP_MEAN) / CLIP_STD, np.float32)

@@ -1,0 +1,204 @@
+"""LLaMA decoder in functional JAX.
+
+Architecture parity with HuggingFace ``LlamaModel`` (the LLM inside
+LLaVA-1.5; reference L1 — SURVEY §1): RMSNorm, rotary position embeddings,
+grouped-query attention, SwiGLU MLP, tied or untied LM head.
+
+TPU-native specifics:
+- The decode loop is caller-owned (``lax.scan`` in the LLaVA wrapper); this
+  module exposes ``llama_prefill`` (full-sequence) and ``llama_decode_step``
+  (single token against a KV cache) as pure functions over a parameter
+  pytree.
+- ``extract_layer`` makes THAT layer return its post-softmax attention row
+  for the last query position — the functional replacement for the
+  reference's forward hook + per-layer monkey-patch (llava.py:141-147,
+  422-438). Other layers never materialize attention probabilities
+  (softmax(qk) is fused by XLA into the attention computation).
+- Weights stay f32; activations can be bf16 via ``compute_dtype``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: Optional[int] = None  # None -> MHA
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    max_position_embeddings: int = 4096
+    tie_word_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_key_value_heads or self.num_attention_heads
+
+
+class LlamaKVCache(NamedTuple):
+    k: jnp.ndarray  # (n_layers, B, max_seq, kv_heads, head_dim)
+    v: jnp.ndarray
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.float32) -> LlamaKVCache:
+    shape = (cfg.num_hidden_layers, batch, max_seq, cfg.kv_heads, cfg.head_dim)
+    return LlamaKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * weight
+
+
+def rope_cos_sin(
+    positions: jnp.ndarray, head_dim: int, theta: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """positions (...,) -> (cos, sin) of shape (..., head_dim) (HF layout:
+    inv_freq over even indices, duplicated across both halves)."""
+    inv_freq = 1.0 / (
+        theta ** (np.arange(0, head_dim, 2, dtype=np.float32) / head_dim)
+    )
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq[None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(q, k, cos, sin):
+    """q, k: (B, T, H, hd); cos, sin: (B, T, hd) or (T, hd)."""
+    if cos.ndim == 2:
+        cos = cos[None]
+        sin = sin[None]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    return q * cos + _rotate_half(q) * sin, k * cos + _rotate_half(k) * sin
+
+
+def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    """(B, T, kv_heads, hd) -> (B, T, kv_heads*n_rep, hd)."""
+    if n_rep == 1:
+        return x
+    B, T, H, D = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (B, T, H, n_rep, D)).reshape(
+        B, T, H * n_rep, D
+    )
+
+
+def _attn(q, k, v, mask, cfg: LlamaConfig, want_probs: bool):
+    """q (B,Tq,H,hd), k/v (B,Tk,kvH,hd), mask (B,Tq,Tk) bool."""
+    n_rep = cfg.num_attention_heads // cfg.kv_heads
+    k = _repeat_kv(k, n_rep)
+    v = _repeat_kv(v, n_rep)
+    scale = 1.0 / np.sqrt(cfg.head_dim)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    logits = jnp.where(mask[:, None, :, :], logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    B, Tq = out.shape[0], out.shape[1]
+    out = out.reshape(B, Tq, cfg.hidden_size)
+    return out, (probs[:, :, -1, :] if want_probs else None)
+
+
+def _layer(lp: Dict[str, Any], cfg: LlamaConfig, x, cos, sin, mask, want_probs):
+    """Full-sequence layer forward. Returns (y, k, v, probs_row)."""
+    B, T, _ = x.shape
+    h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+    q = (h @ lp["q_proj"].T).reshape(B, T, cfg.num_attention_heads, cfg.head_dim)
+    k = (h @ lp["k_proj"].T).reshape(B, T, cfg.kv_heads, cfg.head_dim)
+    v = (h @ lp["v_proj"].T).reshape(B, T, cfg.kv_heads, cfg.head_dim)
+    q, k = apply_rope(q, k, cos, sin)
+    attn, row = _attn(q, k, v, mask, cfg, want_probs)
+    x = x + attn @ lp["o_proj"].T
+    h2 = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+    mlp = (jax.nn.silu(h2 @ lp["gate_proj"].T) * (h2 @ lp["up_proj"].T)) @ lp["down_proj"].T
+    return x + mlp, k, v, row
+
+
+def llama_prefill(
+    params: Dict[str, Any],
+    cfg: LlamaConfig,
+    inputs_embeds: jnp.ndarray,    # (B, T, D)
+    attention_mask: jnp.ndarray,   # (B, T) bool (False on left padding)
+    max_seq: int,
+    extract_layer: Optional[int] = None,
+):
+    """Full-prompt forward. Returns (last_logits (B, vocab), kv cache padded
+    to max_seq, extract_row (B, H, T) or None)."""
+    B, T, _ = inputs_embeds.shape
+    # HF left-padding convention: position ids count valid tokens
+    positions = jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) - 1
+    positions = jnp.clip(positions, 0, None)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    causal = jnp.tril(jnp.ones((T, T), bool))[None]
+    mask = jnp.logical_and(causal, attention_mask[:, None, :])
+
+    x = inputs_embeds
+    ks, vs, row = [], [], None
+    for i, lp in enumerate(params["layers"]):
+        x, k, v, r = _layer(lp, cfg, x, cos, sin, mask, want_probs=(i == extract_layer))
+        if r is not None:
+            row = r
+        pad = max_seq - T
+        ks.append(jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))))
+        vs.append(jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))))
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    lm_head = params.get("lm_head", params["embed_tokens"])
+    logits = x[:, -1].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
+    return logits, LlamaKVCache(jnp.stack(ks), jnp.stack(vs)), row
+
+
+def llama_decode_step(
+    params: Dict[str, Any],
+    cfg: LlamaConfig,
+    token_embeds: jnp.ndarray,     # (B, 1, D)
+    kv: LlamaKVCache,
+    cur_len: jnp.ndarray,          # scalar int: write position in the cache
+    positions: jnp.ndarray,        # (B,) rope position of the new token
+    kv_mask: jnp.ndarray,          # (B, max_seq) bool incl. the new slot
+    extract_layer: Optional[int] = None,
+):
+    """Single-token step against the cache. Returns (logits, new_kv, row)."""
+    B = token_embeds.shape[0]
+    cos, sin = rope_cos_sin(positions[:, None], cfg.head_dim, cfg.rope_theta)
+    x = token_embeds
+    new_ks, new_vs, row = [], [], None
+    for i, lp in enumerate(params["layers"]):
+        h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+        q = (h @ lp["q_proj"].T).reshape(B, 1, cfg.num_attention_heads, cfg.head_dim)
+        k1 = (h @ lp["k_proj"].T).reshape(B, 1, cfg.kv_heads, cfg.head_dim)
+        v1 = (h @ lp["v_proj"].T).reshape(B, 1, cfg.kv_heads, cfg.head_dim)
+        q, k1 = apply_rope(q, k1, cos, sin)
+        k = jax.lax.dynamic_update_slice_in_dim(kv.k[i], k1, cur_len, axis=1)
+        v = jax.lax.dynamic_update_slice_in_dim(kv.v[i], v1, cur_len, axis=1)
+        new_ks.append(k)
+        new_vs.append(v)
+        attn, r = _attn(q, k, v, kv_mask[:, None, :], cfg, want_probs=(i == extract_layer))
+        if r is not None:
+            row = r
+        x = x + attn @ lp["o_proj"].T
+        h2 = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        mlp = (jax.nn.silu(h2 @ lp["gate_proj"].T) * (h2 @ lp["up_proj"].T)) @ lp["down_proj"].T
+        x = x + mlp
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    lm_head = params.get("lm_head", params["embed_tokens"])
+    logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
+    return logits, LlamaKVCache(jnp.stack(new_ks), jnp.stack(new_vs)), row

@@ -1,0 +1,304 @@
+"""LLaVA-1.5 in functional JAX: CLIP tower -> MLP projector -> LLaMA.
+
+This is the L1 layer the reference delegates to the vendored LLaVA repo
+(SURVEY §1; every consumer imports ``llava.model.builder`` etc.). Here it is
+a pure-JAX model whose weights port 1:1 from any HuggingFace
+``LlavaForConditionalGeneration`` checkpoint (``port_hf_llava_weights``),
+verified numerically against transformers at small scale in
+``tests/test_llava_parity.py``.
+
+Attention extraction is functional: ``generate_with_attention`` mirrors the
+reference's hook cadence (prefill last-row + each decode step,
+llava.py:93-132) via the scan-carried accumulator, with only the designated
+layer materializing attention probabilities.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attwarp_tpu.extract.accumulator import accumulate_step, finalize, init_carry
+from attwarp_tpu.models.clip_vit import (
+    ClipVisionConfig,
+    clip_vision_features,
+)
+from attwarp_tpu.models.llama import (
+    LlamaConfig,
+    llama_decode_step,
+    llama_prefill,
+)
+
+
+@dataclass(frozen=True)
+class LlavaConfig:
+    vision: ClipVisionConfig = field(default_factory=ClipVisionConfig)
+    text: LlamaConfig = field(default_factory=LlamaConfig)
+    vision_feature_layer: int = -2
+    projector_act: str = "gelu"
+    image_token_index: int = 32000
+    pad_token_id: int = 0
+    eos_token_id: int = 2
+
+    @property
+    def num_image_tokens(self) -> int:
+        return self.vision.num_patches
+
+
+def _gelu(x: jnp.ndarray, name: str) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=(name != "gelu"))
+
+
+def encode_images(params, cfg: LlavaConfig, pixel_values: jnp.ndarray) -> jnp.ndarray:
+    """CLIP-normalized (B, S, S, 3) -> projected (B, 576, D_text)."""
+    feats = clip_vision_features(
+        params["vision"],
+        cfg.vision,
+        pixel_values,
+        feature_layer=cfg.vision_feature_layer,
+        drop_cls=True,
+    )
+    p = params["projector"]
+    h = _gelu(feats @ p["linear_1"]["weight"].T + p["linear_1"]["bias"],
+              cfg.projector_act)
+    return h @ p["linear_2"]["weight"].T + p["linear_2"]["bias"]
+
+
+def embed_and_splice(
+    params, cfg: LlavaConfig, input_ids: jnp.ndarray, pixel_values: jnp.ndarray
+) -> jnp.ndarray:
+    """HF-expanded convention: ``input_ids`` already contains
+    ``num_image_tokens`` occurrences of ``image_token_index`` per sample;
+    their embeddings are replaced by projected image features in order."""
+    ids = jnp.asarray(input_ids)
+    emb = params["llama"]["embed_tokens"][jnp.clip(ids, 0, None)]
+    img = encode_images(params, cfg, pixel_values)  # (B, N, D)
+    is_img = ids == cfg.image_token_index
+    # position of each image token among its sample's image tokens
+    order = jnp.cumsum(is_img.astype(jnp.int32), axis=1) - 1
+    order = jnp.clip(order, 0, img.shape[1] - 1)
+    img_at = jnp.take_along_axis(img, order[..., None], axis=1)
+    return jnp.where(is_img[..., None], img_at, emb)
+
+
+class LlavaModel:
+    """Parameter pytree + pure forward functions."""
+
+    def __init__(self, cfg: LlavaConfig, params: Dict[str, Any]):
+        self.cfg = cfg
+        self.params = params
+
+    def encode_images(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
+        return encode_images(self.params, self.cfg, pixel_values)
+
+    def embed_and_splice(self, input_ids, pixel_values) -> jnp.ndarray:
+        return embed_and_splice(self.params, self.cfg, input_ids, pixel_values)
+
+    def forward_logits(
+        self,
+        input_ids: jnp.ndarray,        # (B, T) with expanded image tokens
+        pixel_values: jnp.ndarray,     # (B, S, S, 3)
+        attention_mask: Optional[jnp.ndarray] = None,
+        extract_layer: Optional[int] = None,
+    ):
+        """Returns (last-position logits, extract-layer last-row attention)."""
+        B, T = input_ids.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, T), bool)
+        embeds = self.embed_and_splice(input_ids, pixel_values)
+        logits, _kv, row = llama_prefill(
+            self.params["llama"], self.cfg.text, embeds, attention_mask,
+            max_seq=T, extract_layer=extract_layer,
+        )
+        return logits, row
+
+    def generate_with_attention(
+        self,
+        input_ids: jnp.ndarray,       # (B, T) expanded, left-padded
+        pixel_values: jnp.ndarray,    # (B, S, S, 3)
+        attention_mask: jnp.ndarray,  # (B, T) bool
+        img_start: jnp.ndarray,       # (B,) image-token span starts
+        extract_layer: int = 20,
+        max_new_tokens: int = 20,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Greedy decode; returns (generated ids (B, K), attention (B, n, n))."""
+        return _generate_jit(
+            self.params, self.cfg, input_ids, pixel_values, attention_mask,
+            img_start, extract_layer, max_new_tokens,
+        )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "extract_layer", "max_new_tokens"),
+)
+def _generate_jit(
+    params,
+    cfg: LlavaConfig,
+    input_ids,
+    pixel_values,
+    attention_mask,
+    img_start,
+    extract_layer: int,
+    max_new_tokens: int,
+):
+    tcfg = cfg.text
+    B, T = input_ids.shape
+    max_seq = T + max_new_tokens
+    n_img = cfg.num_image_tokens
+    side = int(np.sqrt(n_img))
+
+    embeds = embed_and_splice(params, cfg, input_ids, pixel_values)
+    logits, kv, row0 = llama_prefill(
+        params["llama"], tcfg, embeds, attention_mask,
+        max_seq=max_seq, extract_layer=extract_layer,
+    )
+    carry0 = accumulate_step(
+        init_carry(B, n_img), row0, img_start, jnp.ones((B,)), n_img
+    )
+    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    finished0 = tok0 == cfg.eos_token_id
+    lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)  # (B,)
+    full_mask = jnp.pad(attention_mask, ((0, 0), (0, max_new_tokens)))
+
+    def body(state, step):
+        tok, kv, finished, carry, full_mask = state
+        cur_len = T + step
+        full_mask = full_mask.at[:, cur_len].set(True)
+        positions = lengths + step  # rope positions continue per sample
+        emb = params["llama"]["embed_tokens"][tok][:, None, :]
+        logits, kv, row = llama_decode_step(
+            params["llama"], tcfg, emb, kv, cur_len, positions,
+            full_mask, extract_layer=extract_layer,
+        )
+        carry = accumulate_step(
+            carry, row, img_start, 1.0 - finished.astype(jnp.float32), n_img
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, cfg.eos_token_id, nxt)
+        finished = jnp.logical_or(finished, nxt == cfg.eos_token_id)
+        return (nxt, kv, finished, carry, full_mask), tok
+
+    (_, _, _, carry, _), toks = jax.lax.scan(
+        body,
+        (tok0, kv, finished0, carry0, full_mask),
+        jnp.arange(max_new_tokens, dtype=jnp.int32),
+    )
+    return jnp.moveaxis(toks, 0, 1), finalize(carry, side)
+
+
+# ── HF weight porting ──────────────────────────────────────────────────
+
+
+def _np(t) -> np.ndarray:
+    try:
+        return t.detach().cpu().float().numpy()
+    except AttributeError:
+        return np.asarray(t, np.float32)
+
+
+def port_hf_llava_weights(state_dict: Dict[str, Any], cfg: LlavaConfig) -> Dict[str, Any]:
+    """Port a HuggingFace ``LlavaForConditionalGeneration`` state dict into
+    the functional parameter pytree. Accepts both pre- and post-4.52 key
+    layouts (``language_model.model.*`` vs ``model.language_model.*``)."""
+    sd = { _strip_prefix(k): v for k, v in state_dict.items() }
+
+    def get(key: str) -> np.ndarray:
+        return _np(sd[key])
+
+    # vision tower
+    vt = "vision_tower.vision_model."
+    # The patch conv weight is (hidden, 3, P, P); our unfold layout is
+    # (P, P, 3) flattened -> reorder to (hidden, P, P, 3) before reshaping.
+    _pw = _np(sd[vt + "embeddings.patch_embedding.weight"])
+    vparams: Dict[str, Any] = {
+        "patch_weight": np.transpose(_pw, (0, 2, 3, 1)).reshape(_pw.shape[0], -1),
+        "class_embedding": get(vt + "embeddings.class_embedding"),
+        "position_embedding": get(vt + "embeddings.position_embedding.weight"),
+        "pre_layrnorm": {
+            "weight": get(vt + "pre_layrnorm.weight"),
+            "bias": get(vt + "pre_layrnorm.bias"),
+        },
+        "layers": [],
+    }
+    for i in range(cfg.vision.num_hidden_layers):
+        b = f"{vt}encoder.layers.{i}."
+        vparams["layers"].append(
+            {
+                "layer_norm1": {"weight": get(b + "layer_norm1.weight"), "bias": get(b + "layer_norm1.bias")},
+                "layer_norm2": {"weight": get(b + "layer_norm2.weight"), "bias": get(b + "layer_norm2.bias")},
+                "q_proj": {"weight": get(b + "self_attn.q_proj.weight"), "bias": get(b + "self_attn.q_proj.bias")},
+                "k_proj": {"weight": get(b + "self_attn.k_proj.weight"), "bias": get(b + "self_attn.k_proj.bias")},
+                "v_proj": {"weight": get(b + "self_attn.v_proj.weight"), "bias": get(b + "self_attn.v_proj.bias")},
+                "out_proj": {"weight": get(b + "self_attn.out_proj.weight"), "bias": get(b + "self_attn.out_proj.bias")},
+                "fc1": {"weight": get(b + "mlp.fc1.weight"), "bias": get(b + "mlp.fc1.bias")},
+                "fc2": {"weight": get(b + "mlp.fc2.weight"), "bias": get(b + "mlp.fc2.bias")},
+            }
+        )
+
+    # projector
+    proj = {
+        "linear_1": {
+            "weight": get("multi_modal_projector.linear_1.weight"),
+            "bias": get("multi_modal_projector.linear_1.bias"),
+        },
+        "linear_2": {
+            "weight": get("multi_modal_projector.linear_2.weight"),
+            "bias": get("multi_modal_projector.linear_2.bias"),
+        },
+    }
+
+    # language model
+    lm = "language_model.model."
+    lparams: Dict[str, Any] = {
+        "embed_tokens": get(lm + "embed_tokens.weight"),
+        "norm": get(lm + "norm.weight"),
+        "layers": [],
+    }
+    if "language_model.lm_head.weight" in sd:
+        lparams["lm_head"] = get("language_model.lm_head.weight")
+    elif "lm_head.weight" in sd:
+        lparams["lm_head"] = get("lm_head.weight")
+    for i in range(cfg.text.num_hidden_layers):
+        b = f"{lm}layers.{i}."
+        lparams["layers"].append(
+            {
+                "input_layernorm": get(b + "input_layernorm.weight"),
+                "post_attention_layernorm": get(b + "post_attention_layernorm.weight"),
+                "q_proj": get(b + "self_attn.q_proj.weight"),
+                "k_proj": get(b + "self_attn.k_proj.weight"),
+                "v_proj": get(b + "self_attn.v_proj.weight"),
+                "o_proj": get(b + "self_attn.o_proj.weight"),
+                "gate_proj": get(b + "mlp.gate_proj.weight"),
+                "up_proj": get(b + "mlp.up_proj.weight"),
+                "down_proj": get(b + "mlp.down_proj.weight"),
+            }
+        )
+
+    to_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    return {
+        "vision": to_jnp(vparams),
+        "projector": to_jnp(proj),
+        "llama": to_jnp(lparams),
+    }
+
+
+def _strip_prefix(key: str) -> str:
+    """Normalize both HF layouts to the classic one:
+    - new:  model.language_model.X  -> language_model.model.X
+            model.vision_tower.X    -> vision_tower.X
+            model.multi_modal_projector.X -> multi_modal_projector.X
+    - old:  already classic.
+    """
+    if key.startswith("model.language_model."):
+        return "language_model.model." + key[len("model.language_model."):]
+    if key.startswith("model.vision_tower."):
+        return key[len("model."):]
+    if key.startswith("model.multi_modal_projector."):
+        return key[len("model."):]
+    return key

@@ -1,0 +1,62 @@
+"""LlavaBackend ids-level extraction over the tiny ported model."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from attwarp_tpu.extract.llava_backend import LlavaBackend
+
+IMG_TOKEN = 99
+
+
+@pytest.fixture(scope="module")
+def backend():
+    from transformers import (
+        CLIPVisionConfig,
+        LlamaConfig as HFLlamaConfig,
+        LlavaConfig as HFLlavaConfig,
+        LlavaForConditionalGeneration,
+    )
+
+    from attwarp_tpu.models import LlavaModel, port_hf_llava_weights
+
+    torch.manual_seed(0)
+    hf_cfg = HFLlavaConfig(
+        vision_config=CLIPVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+            num_attention_heads=2, image_size=28, patch_size=14,
+        ),
+        text_config=HFLlamaConfig(
+            vocab_size=128, hidden_size=48, intermediate_size=96,
+            num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        ),
+        image_token_index=IMG_TOKEN,
+        vision_feature_layer=-2,
+    )
+    hf = LlavaForConditionalGeneration(hf_cfg).eval()
+    cfg = LlavaBackend.config_from_hf(hf.config)
+    params = port_hf_llava_weights(hf.state_dict(), cfg)
+    return LlavaBackend(LlavaModel(cfg, params), extract_layer=1)
+
+
+def test_extract_from_ids(backend, rng):
+    B, n_img = 2, 4
+    ids = rng.integers(3, 90, size=(B, 12)).astype(np.int64)
+    ids[:, 2 : 2 + n_img] = IMG_TOKEN
+    mask = np.ones_like(ids)
+    pixels = rng.standard_normal((B, 28, 28, 3)).astype(np.float32)
+    gen, maps = backend.extract_from_ids(ids, mask, pixels, max_new_tokens=4)
+    assert gen.shape == (2, 4)
+    assert maps.shape == (2, 2, 2)
+    assert np.isfinite(maps).all() and (maps >= 0).all()
+    np.testing.assert_allclose(maps.reshape(2, -1).sum(-1), 1.0, atol=1e-5)
+
+
+def test_config_from_hf_roundtrip(backend):
+    cfg = backend.model.cfg
+    assert cfg.vision.num_patches == 4
+    assert cfg.text.kv_heads == 2
+    assert cfg.image_token_index == IMG_TOKEN
+    assert backend.num_patches_side == 2
