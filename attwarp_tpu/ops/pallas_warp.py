@@ -1,0 +1,131 @@
+"""Fused Pallas warp kernel.
+
+One grid program per image: the per-axis inverse maps (computed outside —
+they are tiny) are expanded to two-banded interpolation matrices IN VMEM via
+iota comparisons, and both separable passes run back-to-back on the MXU
+without the intermediate ever touching HBM. Versus the XLA einsum pair this
+halves HBM traffic (no (B, H, W_out, C) intermediate round-trip) and skips
+materializing the R matrices in HBM entirely.
+
+Layout: channels-first (C, H, W) per image so the matmul operands are
+(H, W)-shaped with the 128-lane dimension fully utilized.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interp_matrix_in_kernel(coords: jnp.ndarray, in_len: int) -> jnp.ndarray:
+    """(out_len,) float coords -> (out_len, in_len) two-banded matrix."""
+    out_len = coords.shape[0]
+    i0 = jnp.floor(coords)
+    frac = (coords - i0).astype(jnp.float32)
+    i0c = jnp.clip(i0.astype(jnp.int32), 0, in_len - 1)
+    i1c = jnp.clip(i0c + 1, 0, in_len - 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (out_len, in_len), 1)
+    return (cols == i0c[:, None]) * (1.0 - frac[:, None]) + (
+        cols == i1c[:, None]
+    ) * frac[:, None]
+
+
+def _dot_bf16_3x(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """f32 matmul via the 3-pass double-bfloat16 decomposition (~2^-21
+    relative error — well inside the ≤1e-3 parity budget, at half the cost
+    of Mosaic's 6-pass HIGHEST; Mosaic's DEFAULT truncates operands to a
+    single bf16 pass, which does NOT meet the budget, and its dot lowering
+    rejects Precision.HIGH, hence the manual split)."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def f(x, y):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32)
+
+    return f(a_hi, b_hi) + f(a_hi, b_lo) + f(a_lo, b_hi)
+
+
+def _warp_kernel(mapx_ref, mapy_ref, img_ref, out_ref):
+    # mapx: (1, 1, W_out); mapy: (1, 1, H_out); img: (1, C, H, W)
+    C, H, W = img_ref.shape[1], img_ref.shape[2], img_ref.shape[3]
+    Rx = _interp_matrix_in_kernel(mapx_ref[0, 0, :], W)   # (W_out, W)
+    Ry = _interp_matrix_in_kernel(mapy_ref[0, 0, :], H)   # (H_out, H)
+    for c in range(C):  # C is small and static (3)
+        t = _dot_bf16_3x(img_ref[0, c], Rx.T)
+        out_ref[0, c] = _dot_bf16_3x(Ry, t)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def warp_batch_pallas_cf(
+    images_cf: jnp.ndarray,  # (B, C, H, W) float32
+    map_x: jnp.ndarray,      # (B, W_out) source x coords
+    map_y: jnp.ndarray,      # (B, H_out) source y coords
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused separable bilinear warp; returns (B, C, H_out, W_out)."""
+    B, C, H, W = images_cf.shape
+    W_out = map_x.shape[1]
+    H_out = map_y.shape[1]
+    flops = 2 * 2 * C * H * W * max(W_out, H_out)
+    return pl.pallas_call(
+        _warp_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, W_out), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H_out), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, H, W), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, C, H_out, W_out), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, C, H_out, W_out), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=B * flops,
+            bytes_accessed=4 * B * C * (H * W + H_out * W_out),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        map_x.astype(jnp.float32)[:, None, :],
+        map_y.astype(jnp.float32)[:, None, :],
+        images_cf.astype(jnp.float32),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("new_width", "new_height", "params", "interpret"),
+)
+def warp_batch_by_attention_pallas(
+    images: jnp.ndarray,    # (B, H, W, C) channels-last, float
+    att_maps: jnp.ndarray,  # (B, h, w)
+    new_width: int,
+    new_height: int,
+    params=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full fused pipeline with the Pallas resample core; channels-last
+    in/out to match ``warp_batch_by_attention``."""
+    from attwarp_tpu.warp.grid import attention_profiles, inverse_axis_map
+    from attwarp_tpu.warp.transforms import WarpParams
+
+    params = params or WarpParams()
+    B, H, W = images.shape[0], images.shape[1], images.shape[2]
+    h, w = att_maps.shape[-2], att_maps.shape[-1]
+
+    def one_grid(am):
+        px, py, tx, ty = attention_profiles(am, params)
+        mx = inverse_axis_map(px, tx, new_width) * (W / w)
+        my = inverse_axis_map(py, ty, new_height) * (H / h)
+        return mx, my
+
+    map_x, map_y = jax.vmap(one_grid)(att_maps)
+    images_cf = jnp.moveaxis(images.astype(jnp.float32), -1, 1)
+    out_cf = warp_batch_pallas_cf(images_cf, map_x, map_y, interpret=interpret)
+    return jnp.moveaxis(out_cf, 1, -1)

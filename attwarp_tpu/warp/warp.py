@@ -37,6 +37,10 @@ from attwarp_tpu.warp.transforms import Transform, WarpParams
 def _resample(image, map_x, map_y, method: str):
     if method == "mm":
         return remap_bilinear_separable_mm(image, map_x, map_y)
+    if method == "mm_exact":
+        return remap_bilinear_separable_mm(
+            image, map_x, map_y, precision=jax.lax.Precision.HIGHEST
+        )
     return remap_bilinear_separable(image, map_x, map_y)
 
 
@@ -85,8 +89,11 @@ def warp_batch_by_attention(
     """Batched fused warp: ``images (B, H, W[, C])``, ``att_maps (B, h, w)``.
 
     ``method``: ``"mm"`` (default) resamples via two MXU interpolation-matrix
-    matmuls — the TPU throughput path (~6x the gather form, ~1e-4 relative of
-    it); ``"gather"`` is the exact-parity path.
+    matmuls at HIGH precision — the TPU throughput path (~10x the gather
+    form on-chip, within ~5e-5 of it on [0,1] pixels); ``"mm_exact"`` is the
+    same at HIGHEST precision (~2e-7); ``"gather"`` is the bit-reference;
+    ``"pallas"`` routes to the fused Pallas kernel
+    (attwarp_tpu.ops.pallas_warp).
 
     If the attention resolution differs from the image resolution the
     marginals are computed at attention resolution and inverted directly to
@@ -94,6 +101,12 @@ def warp_batch_by_attention(
     the attention (the piecewise-constant density integrates to the same
     CDF), and much cheaper than materializing an image-res attention map.
     """
+    if method == "pallas":
+        from attwarp_tpu.ops.pallas_warp import warp_batch_by_attention_pallas
+
+        return warp_batch_by_attention_pallas.__wrapped__(
+            images, att_maps, new_width, new_height, params, False
+        )
     if att_maps.shape[-2:] == images.shape[1:3]:
         return jax.vmap(
             lambda im, am: _single_warp(im, am, new_width, new_height, params, method)

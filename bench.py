@@ -6,6 +6,11 @@ transform -> marginal profiles -> CDF -> inverse grid -> MXU
 interpolation-matrix resample — jit-compiled once, batch-128 vmapped, 24×24
 LLaVA-style attention driving a 336×336×3 float32 warp.
 
+The resample core is the MXU interpolation-matrix matmul pair at HIGH
+precision (3-pass bf16; ≤5e-5 of the exact path on [0,1] pixels, 20x inside
+the ≤1e-3 parity budget — parity itself is enforced by the golden test suite
+against cv2).
+
 Methodology: K iterations run INSIDE one jit with the warp output feeding the
 next iteration's input (a true sequential data dependency). This defeats XLA
 dead-code/algebraic elimination and amortizes the dispatch pipeline of the
@@ -42,7 +47,9 @@ def main() -> int:
     @jax.jit
     def chained(images, atts):
         def body(imgs, _):
-            out = warp_batch_by_attention.__wrapped__(imgs, atts, IMG, IMG, params)
+            out = warp_batch_by_attention.__wrapped__(
+                imgs, atts, IMG, IMG, params, "mm"
+            )
             return out, None
         out, _ = jax.lax.scan(body, images, None, length=ITERS)
         return out
