@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel axis size (default: all devices)")
     p.add_argument("--mesh-model", type=int, default=d.mesh_model,
                    help="tensor-parallel axis size")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoints/ dir of a previous run to resume from")
     return p
 
 
@@ -71,7 +73,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     )
     from attwarp_tpu.train.trainer import train_loop
 
-    train_loop(cfg)
+    train_loop(cfg, resume_from=args.resume)
     return 0
 
 

