@@ -49,6 +49,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="Apply inverse transform to marginal profiles",
     )
     p.add_argument("--attention-alpha", type=float, default=0.4)
+    # second pass: re-run the MLLM on the warped image
+    # (new_method.py:583-615)
+    p.add_argument("--second-pass", action="store_true",
+                   help="run the MLLM on the warped image and print its answer")
+    p.add_argument("--question", type=str, default=None,
+                   help="question for the second pass")
+    p.add_argument("--backend", type=str, default="mini",
+                   help="MLLM backend for the second pass")
+    p.add_argument("--max-new-tokens", type=int, default=20)
     return p
 
 
@@ -78,6 +87,25 @@ def main(argv=None) -> int:
         apply_inverse=args.apply_inverse,
         attention_alpha=args.attention_alpha,
     )
+
+    if ok and args.second_pass:
+        if not args.question:
+            print("--second-pass needs --question")
+            return 1
+        from PIL import Image
+
+        from attwarp_tpu.cli.process_dataset import make_backend
+        from attwarp_tpu.eval.harness import ExtractionAnswerBackend
+
+        backend = ExtractionAnswerBackend(
+            make_backend(args.backend, layer_index=20),
+            max_new_tokens=args.max_new_tokens,
+        )
+        warped_path = os.path.join(run_dir, os.path.basename(args.output))
+        with Image.open(warped_path) as im:
+            img = np.asarray(im.convert("RGB"))
+        answer = backend.answer(img, args.question, args.max_new_tokens)
+        print(f"Warped image output: {answer}")
     return 0 if ok else 1
 
 

@@ -6,5 +6,12 @@ from attwarp_tpu.parallel.mesh import (
     shard_batch,
     shard_params,
 )
+from attwarp_tpu.parallel.warp_sharded import make_sharded_warp
 
-__all__ = ["make_mesh", "shard_batch", "shard_params", "param_sharding_rules"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "shard_params",
+    "param_sharding_rules",
+    "make_sharded_warp",
+]

@@ -145,19 +145,22 @@ def _single_warp_lowres_att(
     return _resample(image, map_x, map_y, method)
 
 
-@partial(jax.jit, static_argnames=("out_size", "tie_jitter"))
+@partial(jax.jit, static_argnames=("out_size", "tie_jitter", "method"))
 def warp_from_cdf(
     images: jnp.ndarray,
     Fx: jnp.ndarray,
     Fy: jnp.ndarray,
     out_size: Optional[Tuple[int, int]] = None,
     tie_jitter: bool = True,
+    method: str = "gather",
 ) -> jnp.ndarray:
     """Batched CDF-driven warp (C4 semantics, checkpoint_utils.py:133-204).
 
     images: ``(B, H, W, C)`` (channels-last; use ``jnp.moveaxis`` for NCHW)
     Fx: ``(B, W)`` CDF along X in [0, 1]; Fy: ``(B, H)`` CDF along Y.
     out_size: ``(H_out, W_out)`` or None to keep ``(H, W)``.
+    ``method``: "gather" (bit-reference default) or "mm"/"mm_exact" for the
+    MXU throughput path.
     """
     B, H, W = images.shape[0], images.shape[1], images.shape[2]
     H_out, W_out = (H, W) if out_size is None else out_size
@@ -165,6 +168,6 @@ def warp_from_cdf(
     def one(img, fx, fy):
         map_x = inverse_axis_map_from_cdf(fx, W_out, tie_jitter=tie_jitter)
         map_y = inverse_axis_map_from_cdf(fy, H_out, tie_jitter=tie_jitter)
-        return remap_bilinear_separable(img, map_x, map_y)
+        return _resample(img, map_x, map_y, method)
 
     return jax.vmap(one)(images, Fx, Fy)
