@@ -49,6 +49,21 @@ def split_indices(n: int, val_frac: float, seed: int):
     return idx[: n - n_val], idx[n - n_val :]
 
 
+def host_local_indices(
+    indices: Sequence[int],
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> List[int]:
+    """Multi-host input sharding: each host reads a disjoint strided slice of
+    the index list (data flows over DCN only in the input pipeline — the
+    device mesh never moves raw images across hosts)."""
+    import jax
+
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return list(indices)[pi::pc]
+
+
 def batch_iterator(
     dataset,
     indices: Sequence[int],

@@ -151,9 +151,12 @@ def eval_step(
     return metrics
 
 
-def make_sharded_train_step(model: MarginalNet, cfg: TrainConfig, mesh, state, batch):
+def make_sharded_train_step(
+    model: MarginalNet, cfg: TrainConfig, mesh, state, batch, with_eval: bool = False
+):
     """Build a jitted train step with explicit data/model-parallel shardings
-    over ``mesh``; returns (fn, sharded_state, sharded_batch).
+    over ``mesh``; returns (fn, sharded_state, sharded_batch), or
+    (fn, eval_fn, sharded_state, sharded_batch) when ``with_eval``.
 
     Batch arrays are sharded on the ``data`` axis, large parameter matrices
     on the ``model`` axis; XLA inserts the gradient psum over ICI.
@@ -188,4 +191,11 @@ def make_sharded_train_step(model: MarginalNet, cfg: TrainConfig, mesh, state, b
     )
     sharded_state = jax.device_put(state, state_sh)
     sharded_batch = jax.device_put(batch, b_sh)
+    if with_eval:
+        eval_fn = jax.jit(
+            lambda s, b: eval_step.__wrapped__(s, b, model, cfg),
+            in_shardings=(state_sh, b_sh),
+            out_shardings=replicated(mesh),
+        )
+        return fn, eval_fn, sharded_state, sharded_batch
     return fn, sharded_state, sharded_batch

@@ -189,6 +189,7 @@ def train_loop(
     # optional multi-device sharding
     mesh = None
     step_fn = lambda s, b: train_step(s, b, model, cfg)
+    eval_fn = lambda s, b: eval_step(s, b, model, cfg)
     n_dev = len(jax.devices())
     n_data = cfg.mesh_data or (n_dev // cfg.mesh_model)
     if n_dev > 1 and cfg.batch_size % max(n_data, 1) == 0:
@@ -196,8 +197,11 @@ def train_loop(
         from attwarp_tpu.train.train_step import make_sharded_train_step
 
         mesh = make_mesh(n_data=n_data, n_model=cfg.mesh_model)
-        sharded_fn, state, _ = make_sharded_train_step(model, cfg, mesh, state, jprobe)
+        sharded_fn, sharded_eval, state, _ = make_sharded_train_step(
+            model, cfg, mesh, state, jprobe, with_eval=True
+        )
         step_fn = sharded_fn
+        eval_fn = sharded_eval
     elif n_dev > 1:
         print(
             f"[trainer] batch_size={cfg.batch_size} not divisible by "
@@ -242,7 +246,11 @@ def train_loop(
             dataset, val_idx, cfg.batch_size, shuffle=False, drop_last=False
         ):
             jbatch = prepare_batch(raw, feats)
-            m = eval_step(_host_state(state), jbatch, model, cfg)
+            if mesh is not None and jbatch["image"].shape[0] % n_data != 0:
+                # last partial val batch: fall back to single-device eval
+                m = eval_step(_host_state(state), jbatch, model, cfg)
+            else:
+                m = eval_fn(state, jbatch)
             val_sum += float(m["loss/total"])
             vb += 1
             if not did_debug:
