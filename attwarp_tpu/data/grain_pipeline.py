@@ -9,7 +9,7 @@ thread-prefetch ``batch_iterator`` covers that case.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Sequence
+from typing import Iterator, Sequence
 
 
 def grain_available() -> bool:

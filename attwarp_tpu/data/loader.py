@@ -14,7 +14,7 @@ from __future__ import annotations
 import queue
 import random
 import threading
-from typing import Dict, Iterable, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 

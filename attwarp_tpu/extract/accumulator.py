@@ -15,7 +15,7 @@ equivalent of generation having stopped for that sample.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax.numpy as jnp
 

@@ -6,10 +6,10 @@
   (llava.py:272-331): (images, questions) -> (overlays, attention maps
   (B,1,24,24), mota masks).
 
-Backends are duck-typed: anything with ``tokenizer``, ``prepare(images,
-prompts)`` and ``generate(...)`` works; ``MiniLLaVABackend`` is the
-self-contained test backend, ``attwarp_tpu.extract.llava_flax`` the
-real-weights adapter.
+Backends are duck-typed: anything exposing ``image_size`` and
+``extract(images, questions, max_new_tokens)`` works; ``MiniLLaVABackend``
+is the self-contained test backend,
+``attwarp_tpu.extract.llava_backend.LlavaBackend`` the real-weights one.
 """
 
 from __future__ import annotations
@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from attwarp_tpu.extract import mini_llava
 from attwarp_tpu.extract.mini_llava import (
     HashTokenizer,
     MiniLLaVAConfig,
@@ -29,7 +28,7 @@ from attwarp_tpu.extract.mini_llava import (
     init_params,
 )
 from attwarp_tpu.extract.offsets import left_pad
-from attwarp_tpu.extract.prompts import build_prompt, infer_conv_mode, stop_str_for
+from attwarp_tpu.extract.prompts import build_prompt, stop_str_for
 
 
 class MiniLLaVABackend:

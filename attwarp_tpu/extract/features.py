@@ -13,7 +13,7 @@ real-weights extractor plugs in the same way.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

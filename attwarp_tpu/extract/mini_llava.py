@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from attwarp_tpu.extract.accumulator import (
-    AttnCarry,
     accumulate_step,
     finalize,
     init_carry,

@@ -17,7 +17,7 @@ artifacts match bit-for-bit at the uint8 level.
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,7 @@ from attwarp_tpu.warp.resample import (
     remap_bilinear_separable,
     remap_bilinear_separable_mm,
 )
-from attwarp_tpu.warp.transforms import Transform, WarpParams
+from attwarp_tpu.warp.transforms import WarpParams
 
 
 def _resample(image, map_x, map_y, method: str):
