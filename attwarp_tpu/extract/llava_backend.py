@@ -30,11 +30,14 @@ from attwarp_tpu.models.llava import LlavaConfig, LlavaModel, port_hf_llava_weig
 
 class LlavaBackend:
     def __init__(self, model: LlavaModel, tokenizer=None, image_processor=None,
-                 extract_layer: int = 20):
+                 extract_layer: int = 20, use_flash: bool = False):
         self.model = model
         self.tokenizer = tokenizer
         self.image_processor = image_processor
         self.extract_layer = extract_layer
+        # flash-attention prefill (Pallas kernel; enable on TPU for long
+        # prompts — the 576-image-token prefill is the dominant cost)
+        self.use_flash = use_flash
         self.name = "llava-jax"
 
     # ── loading ────────────────────────────────────────────────────────
@@ -113,6 +116,7 @@ class LlavaBackend:
             jnp.asarray(img_start, jnp.int32),
             extract_layer=self.extract_layer,
             max_new_tokens=max_new_tokens,
+            use_flash=self.use_flash,
         )
         return np.asarray(gen), np.asarray(maps)
 

@@ -118,7 +118,47 @@ def _attn(q, k, v, mask, cfg: LlamaConfig, want_probs: bool):
     return out, (probs[:, :, -1, :] if want_probs else None)
 
 
-def _layer(lp: Dict[str, Any], cfg: LlamaConfig, x, cos, sin, mask, want_probs):
+def _flash_attn(q, k, v, attention_mask, cfg: LlamaConfig):
+    """Prefill attention through the Pallas flash-attention kernel
+    (jax.experimental.pallas.ops.tpu.flash_attention): O(T) memory, no
+    materialized (T, T) probability matrix. Left padding is encoded as
+    segment ids (padding = segment 0, valid = segment 1) so valid queries
+    never attend padding. TPU-only fast path."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, T = attention_mask.shape
+    n_rep = cfg.num_attention_heads // cfg.kv_heads
+    k = _repeat_kv(k, n_rep)
+    v = _repeat_kv(v, n_rep)
+    seg = jnp.where(attention_mask, 2, 1).astype(jnp.int32)  # padding=1, valid=2
+    out = flash_attention(
+        q.transpose(0, 2, 1, 3),  # (B, H, T, hd)
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        segment_ids=SegmentIds(q=seg, kv=seg),
+        causal=True,
+        sm_scale=1.0 / np.sqrt(cfg.head_dim),
+    )
+    return out.transpose(0, 2, 1, 3).reshape(B, T, cfg.hidden_size)
+
+
+def _last_row_probs(q_last, k, mask_last, cfg: LlamaConfig):
+    """Post-softmax attention of the LAST query position only: (B, H, T).
+    O(B*H*T) — this is all the extract layer needs, so with flash attention
+    enabled no layer ever materializes a (T, T) probability matrix."""
+    n_rep = cfg.num_attention_heads // cfg.kv_heads
+    k = _repeat_kv(k, n_rep)
+    scale = 1.0 / np.sqrt(cfg.head_dim)
+    logits = jnp.einsum("bhd,bkhd->bhk", q_last, k).astype(jnp.float32) * scale
+    logits = jnp.where(mask_last[:, None, :], logits, jnp.finfo(jnp.float32).min)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def _layer(lp: Dict[str, Any], cfg: LlamaConfig, x, cos, sin, mask, want_probs,
+           use_flash=False, attention_mask=None):
     """Full-sequence layer forward. Returns (y, k, v, probs_row)."""
     B, T, _ = x.shape
     h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
@@ -126,7 +166,13 @@ def _layer(lp: Dict[str, Any], cfg: LlamaConfig, x, cos, sin, mask, want_probs):
     k = (h @ lp["k_proj"].T).reshape(B, T, cfg.kv_heads, cfg.head_dim)
     v = (h @ lp["v_proj"].T).reshape(B, T, cfg.kv_heads, cfg.head_dim)
     q, k = apply_rope(q, k, cos, sin)
-    attn, row = _attn(q, k, v, mask, cfg, want_probs)
+    if use_flash:
+        attn = _flash_attn(q, k, v, attention_mask, cfg)
+        row = (
+            _last_row_probs(q[:, -1], k, mask[:, -1, :], cfg) if want_probs else None
+        )
+    else:
+        attn, row = _attn(q, k, v, mask, cfg, want_probs)
     x = x + attn @ lp["o_proj"].T
     h2 = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
     mlp = (jax.nn.silu(h2 @ lp["gate_proj"].T) * (h2 @ lp["up_proj"].T)) @ lp["down_proj"].T
@@ -140,9 +186,19 @@ def llama_prefill(
     attention_mask: jnp.ndarray,   # (B, T) bool (False on left padding)
     max_seq: int,
     extract_layer: Optional[int] = None,
+    use_flash: bool = False,
 ):
     """Full-prompt forward. Returns (last_logits (B, vocab), kv cache padded
-    to max_seq, extract_row (B, H, T) or None)."""
+    to max_seq, extract_row (B, H, T) or None).
+
+    ``use_flash`` routes attention through the Pallas flash kernel (TPU
+    only); the extract layer's last-row probabilities are computed by a
+    separate O(T) pass, so no (T, T) matrix is ever materialized. Measured
+    on v5e: at LLaVA's prompt length (~640 tokens) the dense path is
+    slightly faster (12.8 vs 14.3 ms at B=8, d=1024, 8 layers) — flash pays
+    off for longer contexts (O(T) memory, better tiling beyond ~2k). The
+    flash kernel computes in bf16 (logits within ~0.7% relative; the
+    extract row within 5e-5), so the default stays the dense f32 path."""
     B, T, _ = inputs_embeds.shape
     # HF left-padding convention: position ids count valid tokens
     positions = jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) - 1
@@ -154,7 +210,10 @@ def llama_prefill(
     x = inputs_embeds
     ks, vs, row = [], [], None
     for i, lp in enumerate(params["layers"]):
-        x, k, v, r = _layer(lp, cfg, x, cos, sin, mask, want_probs=(i == extract_layer))
+        x, k, v, r = _layer(
+            lp, cfg, x, cos, sin, mask, want_probs=(i == extract_layer),
+            use_flash=use_flash, attention_mask=attention_mask,
+        )
         if r is not None:
             row = r
         pad = max_seq - T

@@ -105,6 +105,7 @@ class LlavaModel:
         pixel_values: jnp.ndarray,     # (B, S, S, 3)
         attention_mask: Optional[jnp.ndarray] = None,
         extract_layer: Optional[int] = None,
+        use_flash: bool = False,
     ):
         """Returns (last-position logits, extract-layer last-row attention)."""
         B, T = input_ids.shape
@@ -113,7 +114,7 @@ class LlavaModel:
         embeds = self.embed_and_splice(input_ids, pixel_values)
         logits, _kv, row = llama_prefill(
             self.params["llama"], self.cfg.text, embeds, attention_mask,
-            max_seq=T, extract_layer=extract_layer,
+            max_seq=T, extract_layer=extract_layer, use_flash=use_flash,
         )
         return logits, row
 
@@ -125,17 +126,20 @@ class LlavaModel:
         img_start: jnp.ndarray,       # (B,) image-token span starts
         extract_layer: int = 20,
         max_new_tokens: int = 20,
+        use_flash: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Greedy decode; returns (generated ids (B, K), attention (B, n, n))."""
+        """Greedy decode; returns (generated ids (B, K), attention (B, n, n)).
+
+        ``use_flash`` enables the Pallas flash-attention prefill (TPU only)."""
         return _generate_jit(
             self.params, self.cfg, input_ids, pixel_values, attention_mask,
-            img_start, extract_layer, max_new_tokens,
+            img_start, extract_layer, max_new_tokens, use_flash,
         )
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "extract_layer", "max_new_tokens"),
+    static_argnames=("cfg", "extract_layer", "max_new_tokens", "use_flash"),
 )
 def _generate_jit(
     params,
@@ -146,6 +150,7 @@ def _generate_jit(
     img_start,
     extract_layer: int,
     max_new_tokens: int,
+    use_flash: bool = False,
 ):
     tcfg = cfg.text
     B, T = input_ids.shape
@@ -156,7 +161,7 @@ def _generate_jit(
     embeds = embed_and_splice(params, cfg, input_ids, pixel_values)
     logits, kv, row0 = llama_prefill(
         params["llama"], tcfg, embeds, attention_mask,
-        max_seq=max_seq, extract_layer=extract_layer,
+        max_seq=max_seq, extract_layer=extract_layer, use_flash=use_flash,
     )
     carry0 = accumulate_step(
         init_carry(B, n_img), row0, img_start, jnp.ones((B,)), n_img
