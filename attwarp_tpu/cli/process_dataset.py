@@ -150,13 +150,24 @@ def process_dataset(
 
     from attwarp_tpu.extract.extraction import _resize_for_backend
 
-    for start in range(0, len(remaining), max(batch_size, 1)):
-        chunk = remaining[start : start + max(batch_size, 1)]
-        imgs = [samples[i][0] for i in chunk]
-        qs = [samples[i][1] for i in chunk]
-        batch = np.stack([_resize_for_backend(im, backend.image_size) for im in imgs])
-        maps, _texts = _extract_with_fallback(backend, batch, qs, max_new_tokens)
+    # Pipeline: the device extracts batch N+1 while the host writes batch
+    # N's artifacts on a writer thread (SURVEY §7 step 6: warp/IO overlapped
+    # with MLLM inference).
+    import queue as _queue
+    import threading as _threading
 
+    work_q: "_queue.Queue" = _queue.Queue(maxsize=2)
+    _sentinel = object()
+
+    def _writer():
+        while True:
+            item = work_q.get()
+            if item is _sentinel:
+                return
+            chunk, maps = item
+            _write_chunk(chunk, maps)
+
+    def _write_chunk(chunk, maps):
         for k, i in enumerate(chunk):
             image, question, meta = samples[i]
             image_id = meta.get("image_id", f"sample{i}")
@@ -233,6 +244,22 @@ def process_dataset(
                     print(f"Critical: metadata save failed for {sid}: {e}")
                     failed = True
                 progress.mark(i, failed=failed)
+
+    writer = _threading.Thread(target=_writer, daemon=True)
+    writer.start()
+    try:
+        for start in range(0, len(remaining), max(batch_size, 1)):
+            chunk = remaining[start : start + max(batch_size, 1)]
+            imgs = [samples[i][0] for i in chunk]
+            qs = [samples[i][1] for i in chunk]
+            batch = np.stack(
+                [_resize_for_backend(im, backend.image_size) for im in imgs]
+            )
+            maps, _texts = _extract_with_fallback(backend, batch, qs, max_new_tokens)
+            work_q.put((chunk, np.asarray(maps)))
+    finally:
+        work_q.put(_sentinel)
+        writer.join()
 
     print(
         f"Done. processed={progress.processed_count} failed={progress.failed_count}"
