@@ -53,7 +53,9 @@ class MiniLLaVABackend:
         """(attention maps (B, 24, 24), decoded answers)."""
         prompts = [build_prompt(q, self.conv_mode) for q in questions]
         ids = [self.tokenizer.encode(p) for p in prompts]
-        padded, _mask = left_pad(ids, pad_id=self.cfg.pad_id)
+        # bucket=8 keeps the tiny test model's shapes small but still
+        # exercises the one-compile-per-bucket behavior of the real backend
+        padded, _mask = left_pad(ids, pad_id=self.cfg.pad_id, bucket=8)
         padded = np.asarray(padded, np.int64)
         imgs = jnp.asarray(images, jnp.float32)
         if imgs.ndim == 3:

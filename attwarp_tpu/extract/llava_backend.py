@@ -145,7 +145,10 @@ class LlavaBackend:
             ids_list.append(ids)
         from attwarp_tpu.extract.offsets import left_pad
 
-        padded, mask = left_pad(ids_list, pad_id=self.model.cfg.pad_token_id)
+        # bucketed padding: one compilation per 64-token length bucket
+        padded, mask = left_pad(
+            ids_list, pad_id=self.model.cfg.pad_token_id, bucket=64
+        )
         pixels = np.stack([self._preprocess(im) for im in images])
         gen, maps = self.extract_from_ids(
             np.asarray(padded), np.asarray(mask), pixels, max_new_tokens

@@ -291,7 +291,11 @@ def build_spliced_embeds(
     n_img = cfg.num_image_tokens
     unpadded = (padded_ids != cfg.pad_id).sum(axis=1)
     exp_lens = unpadded - 1 + n_img
-    L_exp = int(exp_lens.max())
+    from attwarp_tpu.extract.offsets import bucket_length
+
+    # bucket the post-expansion length so one compilation serves all
+    # batches whose expanded prompts fall in the same bucket
+    L_exp = bucket_length(int(exp_lens.max()), bucket=8)
 
     is_img = np.zeros((B, L_exp), np.bool_)
     src_idx = np.zeros((B, L_exp), np.int32)   # text position or patch index

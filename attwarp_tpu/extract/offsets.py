@@ -54,12 +54,22 @@ def batch_image_token_ranges(
     return starts, ends
 
 
+def bucket_length(n: int, bucket: int = 64) -> int:
+    """Round a sequence length up to the next bucket multiple. Bucketing the
+    padded length means one XLA compilation serves every batch whose max
+    prompt falls in the same bucket — a TPU concern the reference (eager
+    PyTorch) never had."""
+    if bucket <= 1:
+        return n
+    return ((n + bucket - 1) // bucket) * bucket
+
+
 def left_pad(
-    ids_list: Sequence[Sequence[int]], pad_id: int = 0
+    ids_list: Sequence[Sequence[int]], pad_id: int = 0, bucket: int = 1
 ) -> Tuple[List[List[int]], List[List[int]]]:
-    """Left-pad variable-length token lists to the max length; returns
-    (padded_ids, attention_mask) (functions.py:254-266)."""
-    max_len = max(len(ids) for ids in ids_list)
+    """Left-pad variable-length token lists to the max length (rounded up to
+    ``bucket``); returns (padded_ids, attention_mask) (functions.py:254-266)."""
+    max_len = bucket_length(max(len(ids) for ids in ids_list), bucket)
     padded, mask = [], []
     for ids in ids_list:
         n = len(ids)

@@ -65,6 +65,8 @@ def clip_vision_features(
     P = cfg.patch_size
     n = cfg.image_size // P
 
+    # compute in the parameter dtype (bf16 serving stays bf16 end-to-end)
+    pixel_values = pixel_values.astype(params["patch_weight"].dtype)
     # conv patch embedding == unfold + matmul (patch_w: (hidden, 3*P*P))
     x = pixel_values.reshape(B, n, P, n, P, 3).transpose(0, 1, 3, 2, 4, 5)
     x = x.reshape(B, n * n, P * P * 3)

@@ -88,8 +88,10 @@ def apply_rope(q, k, cos, sin):
     if cos.ndim == 2:
         cos = cos[None]
         sin = sin[None]
-    cos = cos[:, :, None, :]
-    sin = sin[:, :, None, :]
+    # keep activations in their compute dtype (bf16 serving should not be
+    # silently promoted to f32 by the f32 rope tables)
+    cos = cos[:, :, None, :].astype(q.dtype)
+    sin = sin[:, :, None, :].astype(q.dtype)
     return q * cos + _rotate_half(q) * sin, k * cos + _rotate_half(k) * sin
 
 

@@ -77,7 +77,7 @@ def embed_and_splice(
     their embeddings are replaced by projected image features in order."""
     ids = jnp.asarray(input_ids)
     emb = params["llama"]["embed_tokens"][jnp.clip(ids, 0, None)]
-    img = encode_images(params, cfg, pixel_values)  # (B, N, D)
+    img = encode_images(params, cfg, pixel_values).astype(emb.dtype)  # (B, N, D)
     is_img = ids == cfg.image_token_index
     # position of each image token among its sample's image tokens
     order = jnp.cumsum(is_img.astype(jnp.int32), axis=1) - 1
@@ -207,10 +207,16 @@ def _np(t) -> np.ndarray:
         return np.asarray(t, np.float32)
 
 
-def port_hf_llava_weights(state_dict: Dict[str, Any], cfg: LlavaConfig) -> Dict[str, Any]:
+def port_hf_llava_weights(
+    state_dict: Dict[str, Any], cfg: LlavaConfig, dtype=jnp.float32
+) -> Dict[str, Any]:
     """Port a HuggingFace ``LlavaForConditionalGeneration`` state dict into
     the functional parameter pytree. Accepts both pre- and post-4.52 key
-    layouts (``language_model.model.*`` vs ``model.language_model.*``)."""
+    layouts (``language_model.model.*`` vs ``model.language_model.*``).
+
+    ``dtype=jnp.bfloat16`` halves HBM for serving (a 7B checkpoint fits a
+    single v5e chip); norms/softmax/logits still compute in f32 internally.
+    """
     sd = { _strip_prefix(k): v for k, v in state_dict.items() }
 
     def get(key: str) -> np.ndarray:
@@ -285,7 +291,9 @@ def port_hf_llava_weights(state_dict: Dict[str, Any], cfg: LlavaConfig) -> Dict[
             }
         )
 
-    to_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    to_jnp = lambda t: jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, dtype=dtype), t
+    )
     return {
         "vision": to_jnp(vparams),
         "projector": to_jnp(proj),
