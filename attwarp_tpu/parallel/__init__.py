@@ -7,6 +7,7 @@ from attwarp_tpu.parallel.mesh import (
     shard_params,
 )
 from attwarp_tpu.parallel.warp_sharded import make_sharded_warp
+from attwarp_tpu.parallel.llava_sharding import llava_param_specs, shard_llava_params
 
 __all__ = [
     "make_mesh",
@@ -14,4 +15,6 @@ __all__ = [
     "shard_params",
     "param_sharding_rules",
     "make_sharded_warp",
+    "llava_param_specs",
+    "shard_llava_params",
 ]

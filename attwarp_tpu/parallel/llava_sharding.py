@@ -1,0 +1,104 @@
+"""Tensor-parallel sharding for the JAX LLaVA model.
+
+Megatron-style layout over the ``model`` mesh axis, expressed purely as
+parameter shardings — XLA's SPMD partitioner propagates them through the
+jitted generate/prefill functions and inserts the all-reduces over ICI:
+
+- attention q/k/v projections and MLP gate/up: column-parallel
+  (output-feature axis sharded -> heads split across chips),
+- attention output and MLP down: row-parallel (input-feature axis sharded
+  -> one psum per layer),
+- embeddings / LM head: vocab-parallel,
+- norms and biases: replicated.
+
+The KV cache and attention intermediates inherit head-axis sharding by
+propagation; nothing in the model code changes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _llama_layer_specs() -> Dict[str, P]:
+    return {
+        "input_layernorm": P(),
+        "post_attention_layernorm": P(),
+        # weights are (out_features, in_features); y = x @ W.T
+        "q_proj": P("model", None),    # column parallel
+        "k_proj": P("model", None),
+        "v_proj": P("model", None),
+        "o_proj": P(None, "model"),    # row parallel -> psum
+        "gate_proj": P("model", None),
+        "up_proj": P("model", None),
+        "down_proj": P(None, "model"),
+    }
+
+
+def _vision_layer_specs() -> Dict[str, Any]:
+    col = {"weight": P("model", None), "bias": P("model")}
+    row = {"weight": P(None, "model"), "bias": P()}
+    rep = {"weight": P(), "bias": P()}
+    return {
+        "layer_norm1": rep,
+        "layer_norm2": rep,
+        "q_proj": col,
+        "k_proj": col,
+        "v_proj": col,
+        "out_proj": row,
+        "fc1": col,
+        "fc2": row,
+    }
+
+
+def llava_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpec pytree matching a LLaVA parameter pytree."""
+    n_llama = len(params["llama"]["layers"])
+    n_vision = len(params["vision"]["layers"])
+    specs: Dict[str, Any] = {
+        "vision": {
+            "patch_weight": P("model", None),
+            "class_embedding": P(),
+            "position_embedding": P(),
+            "pre_layrnorm": {"weight": P(), "bias": P()},
+            "layers": [_vision_layer_specs() for _ in range(n_vision)],
+        },
+        "projector": {
+            "linear_1": {"weight": P("model", None), "bias": P("model")},
+            "linear_2": {"weight": P(None, "model"), "bias": P()},
+        },
+        "llama": {
+            "embed_tokens": P("model", None),   # vocab-parallel
+            "norm": P(),
+            "layers": [_llama_layer_specs() for _ in range(n_llama)],
+        },
+    }
+    if "lm_head" in params["llama"]:
+        specs["llama"]["lm_head"] = P("model", None)
+    return specs
+
+
+def _divisible(leaf, spec: P, mesh: Mesh) -> P:
+    """Drop the 'model' factor on axes the mesh size does not divide."""
+    n = mesh.shape["model"]
+    dims = []
+    for i, s in enumerate(spec):
+        if s == "model" and leaf.shape[i] % n != 0:
+            dims.append(None)
+        else:
+            dims.append(s)
+    return P(*dims)
+
+
+def shard_llava_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a LLaVA parameter pytree with tensor-parallel shardings."""
+    specs = llava_param_specs(params)
+
+    def place(leaf, spec):
+        spec = _divisible(leaf, spec, mesh)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, params, specs)
