@@ -57,8 +57,12 @@ ARTIFACT_DIRS = (
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("attwarp process-dataset")
-    p.add_argument("--textvqa-json", required=True)
-    p.add_argument("--image-dir", required=True)
+    p.add_argument("--textvqa-json", default=None,
+                   help="TextVQA_0.5.1-style json (with --image-dir)")
+    p.add_argument("--jsonl", default=None,
+                   help="generic JSONL: one {image_path, question, ...} per "
+                        "line (GQA/DocVQA-style inputs)")
+    p.add_argument("--image-dir", default=None)
     p.add_argument("--output-dir", required=True)
     p.add_argument("--batch-size", type=int, default=32,
                    help="1 = sequential driver semantics; >1 = batched")
@@ -108,11 +112,46 @@ def _extract_with_fallback(backend, images: np.ndarray, questions: List[str],
     return np.stack(maps), texts
 
 
+class JsonlDataset:
+    """Generic driver input: JSONL of {image_path, question, answers?, ...}.
+    Covers GQA/DocVQA-style processing (the reference ran the same driver
+    over multiple datasets; only TextVQA's loader is in the snapshot)."""
+
+    def __init__(self, jsonl_path: str):
+        self.samples = []
+        with open(jsonl_path, "r") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    try:
+                        self.samples.append(json.loads(line))
+                    except json.JSONDecodeError:
+                        continue
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, idx: int) -> dict:
+        sample = dict(self.samples[idx])
+        path = sample.get("image_path")
+        img = None
+        if path and os.path.exists(path):
+            try:
+                with Image.open(path) as im:
+                    img = np.asarray(im.convert("RGB"))
+            except Exception:
+                img = None
+        sample["loaded_image"] = img
+        sample.setdefault("image_id", os.path.splitext(os.path.basename(path or f"s{idx}"))[0])
+        return sample
+
+
 def process_dataset(
-    textvqa_json: str,
-    image_dir: str,
+    textvqa_json: Optional[str],
+    image_dir: Optional[str],
     output_dir: str,
     backend,
+    jsonl: Optional[str] = None,
     batch_size: int = 32,
     max_new_tokens: int = 20,
     enhance_coe: float = 10.0,
@@ -126,7 +165,12 @@ def process_dataset(
         dirs[d] = os.path.join(output_dir, d)
         os.makedirs(dirs[d], exist_ok=True)
 
-    dataset = TextVQADataset(textvqa_json, image_dir)
+    if jsonl:
+        dataset = JsonlDataset(jsonl)
+    elif textvqa_json:
+        dataset = TextVQADataset(textvqa_json, image_dir)
+    else:
+        raise ValueError("need --textvqa-json or --jsonl")
     samples = []
     for idx in range(len(dataset)):
         entry = dataset[idx]
@@ -275,6 +319,7 @@ def main(argv=None) -> int:
         args.image_dir,
         args.output_dir,
         backend,
+        jsonl=args.jsonl,
         batch_size=args.batch_size,
         max_new_tokens=args.max_new_tokens,
         enhance_coe=args.enhance_coe,
