@@ -212,14 +212,20 @@ def train_loop(
     train_curve: List[float] = []
     val_curve: List[float] = []
 
+    from attwarp_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer(run_dir / "stages.jsonl")
+
     for epoch in range(start_epoch, cfg.epochs):
         loss_sum, nb = 0.0, 0
         for raw in batch_iterator(
             dataset, train_idx, cfg.batch_size, shuffle=True,
             seed=cfg.seed + epoch, drop_last=True,
         ):
-            jbatch = prepare_batch(raw, feats)
-            state, metrics = step_fn(state, jbatch)
+            with timer.stage("features"):
+                jbatch = prepare_batch(raw, feats)
+            with timer.stage("train_step"):
+                state, metrics = step_fn(state, jbatch)
             global_step += 1
             loss = float(metrics["loss/total"])
             loss_sum += loss
