@@ -224,8 +224,15 @@ def train_loop(
         ):
             with timer.stage("features"):
                 jbatch = prepare_batch(raw, feats)
+                jax.block_until_ready(jbatch)
             with timer.stage("train_step"):
                 state, metrics = step_fn(state, jbatch)
+                # jit dispatch is async: block so the stage records device
+                # time, not dispatch latency (per-step host timing can still
+                # under-report sub-100ms programs through the axon relay —
+                # see CLAUDE.md; stages.jsonl is for coarse stage ratios,
+                # bench.py for real throughput numbers)
+                metrics = jax.block_until_ready(metrics)
             global_step += 1
             loss = float(metrics["loss/total"])
             loss_sum += loss
@@ -281,6 +288,13 @@ def train_loop(
             save_checkpoint(save_dir, epoch + 1, _host_state(state), cfg)
 
     print("Training complete. Saved to:", str(run_dir))
+    try:
+        for name, agg in timer.summary().items():
+            run.log({f"stage/{name}_mean_s": agg["mean"],
+                     f"stage/{name}_total_s": agg["total"]})
+    except Exception:
+        pass
+    timer.close()
     try:
         run.finish()
     except Exception:

@@ -42,8 +42,15 @@ class StageTimer:
     def __init__(self, path: Optional[str | Path] = None):
         self.path = Path(path) if path else None
         self.records: Dict[str, list] = {}
+        self._f = None
         if self.path:
             self.path.parent.mkdir(parents=True, exist_ok=True)
+            try:
+                # one persistent line-buffered handle: no per-stage open()
+                # in the hot loop being measured
+                self._f = open(self.path, "a", buffering=1)
+            except Exception:
+                self._f = None
 
     @contextlib.contextmanager
     def stage(self, name: str) -> Iterator[None]:
@@ -53,10 +60,12 @@ class StageTimer:
         finally:
             dt = time.perf_counter() - t0
             self.records.setdefault(name, []).append(dt)
-            if self.path:
+            if self._f is not None:
                 try:
-                    with open(self.path, "a") as f:
-                        f.write(json.dumps({"stage": name, "seconds": dt, "t": time.time()}) + "\n")
+                    self._f.write(
+                        json.dumps({"stage": name, "seconds": dt, "t": time.time()})
+                        + "\n"
+                    )
                 except Exception:
                     pass
 
@@ -69,3 +78,11 @@ class StageTimer:
             }
             for name, v in self.records.items()
         }
+
+    def close(self) -> None:
+        if self._f is not None:
+            try:
+                self._f.close()
+            except Exception:
+                pass
+            self._f = None
