@@ -63,6 +63,12 @@ class MiniLLaVABackend:
         embeds, pos_mask, img_start = build_spliced_embeds(
             self.params, self.cfg, padded, imgs
         )
+        if embeds.shape[1] + max_new_tokens > self.cfg.max_seq:
+            raise ValueError(
+                f"prompt too long: expanded length {embeds.shape[1]} + "
+                f"{max_new_tokens} new tokens exceeds max_seq={self.cfg.max_seq} "
+                "(the KV cache would silently clamp writes)"
+            )
         gen, maps = generate_with_attention(
             self.params, self.cfg, embeds, pos_mask, img_start,
             max_new_tokens=max_new_tokens,
@@ -137,14 +143,23 @@ def _to_uint8_rgb(im: np.ndarray) -> np.ndarray:
     im = np.asarray(im)
     if im.dtype == np.uint8:
         return im
-    return np.clip(np.rint(im * 255.0 if im.max() <= 1.0 else im), 0, 255).astype(np.uint8)
+    # float input: [0, 1] convention (integer dtypes are 0-255)
+    if np.issubdtype(im.dtype, np.integer):
+        return np.clip(im, 0, 255).astype(np.uint8)
+    return np.clip(np.rint(im * 255.0), 0, 255).astype(np.uint8)
 
 
 def _resize_for_backend(im: np.ndarray, size: int) -> np.ndarray:
-    im = np.asarray(im, np.float32)
-    if im.max() > 1.5:
-        im = im / 255.0
-    if im.shape[0] == size and im.shape[1] == size:
-        return im
-    out = jax.image.resize(jnp.asarray(im), (size, size, im.shape[2]), method="linear")
+    """Normalize to float [0, 1] by DTYPE (a max()-based heuristic
+    misclassifies dark uint8 images) and resize to the backend input."""
+    arr = np.asarray(im)
+    if np.issubdtype(arr.dtype, np.integer):
+        arr = arr.astype(np.float32) / 255.0
+    else:
+        arr = arr.astype(np.float32)
+        if arr.max() > 1.5:  # float array carrying 0-255 values
+            arr = arr / 255.0
+    if arr.shape[0] == size and arr.shape[1] == size:
+        return arr
+    out = jax.image.resize(jnp.asarray(arr), (size, size, arr.shape[2]), method="linear")
     return np.asarray(out)

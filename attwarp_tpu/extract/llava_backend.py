@@ -28,6 +28,14 @@ from attwarp_tpu.models.llama import LlamaConfig
 from attwarp_tpu.models.llava import LlavaConfig, LlavaModel, port_hf_llava_weights
 
 
+def _scalar_eos(eos) -> int:
+    """HF checkpoints may define eos_token_id as a list (e.g. [2, 32000]);
+    the frozen jit-static config needs one hashable int — take the first."""
+    if isinstance(eos, (list, tuple)):
+        eos = eos[0] if eos else 2
+    return int(eos) if eos is not None else 2
+
+
 class LlavaBackend:
     def __init__(self, model: LlavaModel, tokenizer=None, image_processor=None,
                  extract_layer: int = 20, use_flash: bool = False):
@@ -86,7 +94,7 @@ class LlavaBackend:
             ),
             vision_feature_layer=getattr(hf_cfg, "vision_feature_layer", -2),
             image_token_index=hf_cfg.image_token_index,
-            eos_token_id=getattr(hf_cfg.text_config, "eos_token_id", 2) or 2,
+            eos_token_id=_scalar_eos(getattr(hf_cfg.text_config, "eos_token_id", 2)),
         )
 
     # ── properties ─────────────────────────────────────────────────────
@@ -164,9 +172,7 @@ class LlavaBackend:
         return maps, texts
 
     def _preprocess(self, image: np.ndarray) -> np.ndarray:
-        img = np.asarray(image, np.float32)
-        if img.max() > 1.5:
-            img = img / 255.0
-        S = self.image_size
-        out = jax.image.resize(jnp.asarray(img), (S, S, 3), "linear")
-        return np.asarray((out - CLIP_MEAN) / CLIP_STD, np.float32)
+        from attwarp_tpu.extract.extraction import _resize_for_backend
+
+        img = _resize_for_backend(image, self.image_size)
+        return np.asarray((img - CLIP_MEAN) / CLIP_STD, np.float32)

@@ -257,8 +257,10 @@ def generate_with_attention(
         cur_len = T + step
         full_mask = full_mask.at[:, cur_len].set(True)
         logits, kv, row = decode_step(params, cfg, tok, kv, cur_len, full_mask)
+        # reference parity: the batched hook accumulates every step, incl.
+        # rows after a sample finished (llava.py:384-411)
         attn_carry = accumulate_step(
-            attn_carry, row, img_start, 1.0 - finished.astype(jnp.float32),
+            attn_carry, row, img_start, jnp.ones((tok.shape[0],)),
             cfg.num_image_tokens,
         )
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)

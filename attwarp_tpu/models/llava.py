@@ -181,9 +181,10 @@ def _generate_jit(
             params["llama"], tcfg, emb, kv, cur_len, positions,
             full_mask, extract_layer=extract_layer,
         )
-        carry = accumulate_step(
-            carry, row, img_start, 1.0 - finished.astype(jnp.float32), n_img
-        )
+        # reference parity: BatchMaskHookLogger accumulates EVERY generation
+        # step, including rows produced after a sample emitted EOS (HF
+        # generate keeps forwarding finished rows; llava.py:384-411)
+        carry = accumulate_step(carry, row, img_start, jnp.ones((B,)), n_img)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, cfg.eos_token_id, nxt)
         finished = jnp.logical_or(finished, nxt == cfg.eos_token_id)

@@ -27,7 +27,7 @@ def _interp_matrix_in_kernel(coords: jnp.ndarray, in_len: int) -> jnp.ndarray:
     i0 = jnp.floor(coords)
     frac = (coords - i0).astype(jnp.float32)
     i0c = jnp.clip(i0.astype(jnp.int32), 0, in_len - 1)
-    i1c = jnp.clip(i0c + 1, 0, in_len - 1)
+    i1c = jnp.clip(i0.astype(jnp.int32) + 1, 0, in_len - 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (out_len, in_len), 1)
     return (cols == i0c[:, None]) * (1.0 - frac[:, None]) + (
         cols == i1c[:, None]

@@ -27,37 +27,50 @@ from attwarp_tpu.numerics.precision import matmul_f32
 
 
 def normalize_minmax(mat: jnp.ndarray, method: str = "min") -> jnp.ndarray:
-    """llava.py:207-213. 'min': (x-min)/(max-min); 'max': (max-x)/(max-min)."""
+    """llava.py:207-213. 'min': (x-min)/(max-min); 'max': (max-x)/(max-min).
+
+    Deviation from the reference: a constant map divides 0/0 there (NaN
+    mask); here it yields zeros so the pipeline degrades to a neutral mask.
+    """
     lo = jnp.min(mat)
     hi = jnp.max(mat)
     rng = hi - lo
-    if method == "min":
-        return (mat - lo) / rng
-    if method == "max":
-        return (hi - mat) / rng
-    raise NotImplementedError(method)
+    num = (mat - lo) if method == "min" else (hi - mat)
+    if method not in ("min", "max"):
+        raise NotImplementedError(method)
+    return jnp.where(rng > 0, num / jnp.where(rng > 0, rng, 1.0), 0.0)
 
 
 def enhance(mat: jnp.ndarray, coe: float = 10.0) -> jnp.ndarray:
     """Z-score (unbiased std, like torch.std) -> scale -> sigmoid -> clamp.
-    llava.py:215-221."""
+    llava.py:215-221. Constant input (std 0) maps to the neutral sigmoid(0)
+    instead of the reference's NaN."""
     mat = mat - jnp.mean(mat)
     n = mat.size
     std = jnp.sqrt(jnp.sum(mat * mat) / jnp.maximum(n - 1, 1))
-    mat = mat / std * coe
+    mat = jnp.where(std > 0, mat / jnp.where(std > 0, std, 1.0), 0.0) * coe
     return jnp.clip(jax.nn.sigmoid(mat), 0.0, 1.0)
+
+
+def replicate_fir_matrix(n: int, kernel: np.ndarray) -> np.ndarray:
+    """Any odd-length 1-D FIR kernel with replicate padding as an (n, n)
+    matrix (shared by the box and Gaussian filters)."""
+    k = np.asarray(kernel, np.float64)
+    assert k.size % 2 == 1
+    r = k.size // 2
+    M = np.zeros((n, n), dtype=np.float64)
+    for i in range(n):
+        for dj in range(-r, r + 1):
+            M[i, min(max(i + dj, 0), n - 1)] += k[dj + r]
+    return M
 
 
 @lru_cache(maxsize=64)
 def _box_matrix_np(n: int, kernel_size: int) -> np.ndarray:
     """1-D replicate-padded box filter as an (n, n) matrix."""
-    assert kernel_size % 2 == 1
-    r = kernel_size // 2
-    M = np.zeros((n, n), dtype=np.float64)
-    for i in range(n):
-        for dj in range(-r, r + 1):
-            M[i, min(max(i + dj, 0), n - 1)] += 1.0 / kernel_size
-    return M
+    return replicate_fir_matrix(
+        n, np.full(kernel_size, 1.0 / kernel_size, np.float64)
+    )
 
 
 def revise_mask(

@@ -61,7 +61,6 @@ def attention_profiles(
         es = jnp.exp(sx - m)  # underflow of negligible terms is fine
         ls_x = m + jnp.log(jnp.sum(es, axis=-2))  # (W,)
         ls_y = m + jnp.log(jnp.sum(es, axis=-1))  # (H,)
-        log_div = jnp.log(jnp.asarray(params.exp_divisor, jnp.float32))
         if params.apply_inverse_to_marginals:
             # inv(sum exp(s*x)/div - B*h) + B*h
             #   = log(max(sum exp(s*x), 1e-9... )) / s + B*h (bias negligible

@@ -70,17 +70,21 @@ def resize_image_to_match_attmap(image: np.ndarray, att_map: np.ndarray) -> np.n
 def attention_overlay(
     image: np.ndarray, att_map: np.ndarray, alpha: float = 0.5
 ) -> np.ndarray:
-    """Min-max normalize, JET-colormap, alpha-blend (new_method.py:461-473)."""
+    """Resize to image dims FIRST, then min-max normalize (matching
+    new_method.py:461-469 — normalizing by the resized map's extremes keeps
+    the full JET range even when upsampling smooths the peak), then
+    colormap + alpha-blend."""
     a = np.asarray(att_map, np.float64)
+    if a.shape[:2] != image.shape[:2]:
+        a = np.asarray(
+            jax.image.resize(jnp.asarray(a, jnp.float32), image.shape[:2], "linear"),
+            dtype=np.float64,
+        )
     lo, hi = a.min(), a.max()
     if hi > lo + EPSILON:
         a = (a - lo) / (hi - lo)
     else:
         a = np.zeros_like(a)
-    if a.shape[:2] != image.shape[:2]:
-        a = np.asarray(
-            jax.image.resize(jnp.asarray(a, jnp.float32), image.shape[:2], "linear")
-        )
     heat = apply_jet(np.clip(a * 255, 0, 255).astype(np.uint8))
     out = heat.astype(np.float64) * alpha + image.astype(np.float64) * (1 - alpha)
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)

@@ -40,13 +40,9 @@ def _gaussian_kernel1d(ksize: int, sigma: float) -> np.ndarray:
 @lru_cache(maxsize=64)
 def _gaussian_matrix_np(n: int, ksize: int, sigma: float) -> np.ndarray:
     """1-D Gaussian filter with replicate border as an (n, n) matrix."""
-    k = _gaussian_kernel1d(ksize, sigma)
-    r = ksize // 2
-    M = np.zeros((n, n), dtype=np.float64)
-    for i in range(n):
-        for dj in range(-r, r + 1):
-            M[i, min(max(i + dj, 0), n - 1)] += k[dj + r]
-    return M
+    from attwarp_tpu.warp.blend import replicate_fir_matrix
+
+    return replicate_fir_matrix(n, _gaussian_kernel1d(ksize, sigma))
 
 
 def gaussian_blur(x: jnp.ndarray, ksize: int = 5, sigma: float = 1.0) -> jnp.ndarray:

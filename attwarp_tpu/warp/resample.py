@@ -24,10 +24,13 @@ def _axis_lerp(img: jnp.ndarray, coords: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Linear interpolation of ``img`` along ``axis`` at float ``coords``,
     clamping neighbor indices (border replicate)."""
     n = img.shape[axis]
-    i0 = jnp.floor(coords)
-    frac = coords - i0
-    i0 = jnp.clip(i0.astype(jnp.int32), 0, n - 1)
-    i1 = jnp.clip(i0 + 1, 0, n - 1)
+    i0f = jnp.floor(coords)
+    frac = coords - i0f
+    # clamp BOTH neighbors independently from the unclipped floor: for a
+    # coordinate in [-1, 0) both neighbors replicate to index 0 (cv2
+    # BORDER_REPLICATE), not {0, 1}
+    i0 = jnp.clip(i0f.astype(jnp.int32), 0, n - 1)
+    i1 = jnp.clip(i0f.astype(jnp.int32) + 1, 0, n - 1)
     g0 = jnp.take(img, i0, axis=axis)
     g1 = jnp.take(img, i1, axis=axis)
     shape = [1] * img.ndim
@@ -71,9 +74,9 @@ def remap_bilinear_2d(
     fx = (map_x - x0f)[..., None]
     fy = (map_y - y0f)[..., None]
     x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
-    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, W - 1)
     y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
-    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, H - 1)
     p00 = img[y0, x0]
     p01 = img[y0, x1]
     p10 = img[y1, x0]
@@ -106,7 +109,7 @@ def interp_matrix(coords: jnp.ndarray, in_len: int) -> jnp.ndarray:
     i0 = jnp.floor(coords)
     frac = (coords - i0).astype(jnp.float32)
     i0c = jnp.clip(i0.astype(jnp.int32), 0, in_len - 1)
-    i1c = jnp.clip(i0c + 1, 0, in_len - 1)
+    i1c = jnp.clip(i0.astype(jnp.int32) + 1, 0, in_len - 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (coords.shape[0], in_len), 1)
     return (cols == i0c[:, None]) * (1.0 - frac[:, None]) + (
         cols == i1c[:, None]
