@@ -171,17 +171,18 @@ def process_dataset(
         dataset = TextVQADataset(textvqa_json, image_dir)
     else:
         raise ValueError("need --textvqa-json or --jsonl")
-    samples = []
+    # Candidate selection reads only metadata (no image decode): images are
+    # loaded lazily per chunk, so a full-dataset run holds one chunk of
+    # decoded images in RAM instead of all of them. Progress is keyed by the
+    # STABLE dataset index, so resume stays correct even if the set of
+    # loadable images changes between runs.
+    candidates = []
     for idx in range(len(dataset)):
-        entry = dataset[idx]
-        if entry.get("loaded_image") is None or not entry.get("question"):
-            continue
-        meta = {k: v for k, v in entry.items() if k != "loaded_image"}
-        meta["original_index"] = idx
-        samples.append((entry["loaded_image"], entry["question"], meta))
-        if limit and len(samples) >= limit:
+        if dataset.samples[idx].get("question"):
+            candidates.append(idx)
+        if limit and len(candidates) >= limit:
             break
-    if not samples:
+    if not candidates:
         print("No valid samples.")
         return {"processed": 0, "failed": 0}
 
@@ -189,8 +190,10 @@ def process_dataset(
         os.path.join(dirs["checkpoints"], "processing_progress.json")
     )
     progress.install_handlers()
-    remaining = progress.remaining(len(samples))
-    print(f"Processing {len(remaining)} of {len(samples)} samples.")
+    remaining = [
+        i for i in candidates if i not in progress.processed_internal_indices
+    ]
+    print(f"Processing {len(remaining)} of {len(candidates)} samples.")
 
     from attwarp_tpu.extract.extraction import _resize_for_backend
 
@@ -208,12 +211,21 @@ def process_dataset(
             item = work_q.get()
             if item is _sentinel:
                 return
-            chunk, maps = item
-            _write_chunk(chunk, maps)
+            items, maps = item
+            try:
+                _write_chunk(items, maps)
+            except Exception as e:
+                # the writer must never die: a dead consumer would deadlock
+                # the bounded queue and hang the driver forever
+                print(f"Writer error for chunk starting at {items[0][0]}: {e}")
+                for i, _img, _q, _meta in items:
+                    try:
+                        progress.mark(i, failed=True)
+                    except Exception:
+                        pass
 
-    def _write_chunk(chunk, maps):
-        for k, i in enumerate(chunk):
-            image, question, meta = samples[i]
+    def _write_chunk(items, maps):
+        for k, (i, image, question, meta) in enumerate(items):
             image_id = meta.get("image_id", f"sample{i}")
             sid = f"{image_id}_{meta['original_index']}"
             att = np.asarray(maps[k], np.float32)
@@ -294,13 +306,23 @@ def process_dataset(
     try:
         for start in range(0, len(remaining), max(batch_size, 1)):
             chunk = remaining[start : start + max(batch_size, 1)]
-            imgs = [samples[i][0] for i in chunk]
-            qs = [samples[i][1] for i in chunk]
+            items = []
+            for i in chunk:
+                entry = dataset[i]  # lazy image decode, one chunk at a time
+                if entry.get("loaded_image") is None:
+                    progress.mark(i, failed=True)
+                    continue
+                meta = {k: v for k, v in entry.items() if k != "loaded_image"}
+                meta["original_index"] = i
+                items.append((i, entry["loaded_image"], entry["question"], meta))
+            if not items:
+                continue
             batch = np.stack(
-                [_resize_for_backend(im, backend.image_size) for im in imgs]
+                [_resize_for_backend(im, backend.image_size) for _, im, _, _ in items]
             )
+            qs = [q for _, _, q, _ in items]
             maps, _texts = _extract_with_fallback(backend, batch, qs, max_new_tokens)
-            work_q.put((chunk, np.asarray(maps)))
+            work_q.put((items, np.asarray(maps)))
     finally:
         work_q.put(_sentinel)
         writer.join()

@@ -78,7 +78,6 @@ def batch_iterator(
     if shuffle:
         random.Random(seed).shuffle(order)
     n = len(order)
-    ends = range(batch_size, n + 1, batch_size) if drop_last else None
     batches: List[List[int]] = []
     start = 0
     while start < n:
@@ -95,8 +94,9 @@ def batch_iterator(
         try:
             for b in batches:
                 q.put(collate([dataset[i] for i in b]))
-        finally:
             q.put(stop)
+        except BaseException as e:  # propagate — a swallowed loader error
+            q.put(e)                # would silently truncate every epoch
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -104,4 +104,6 @@ def batch_iterator(
         item = q.get()
         if item is stop:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -153,13 +153,12 @@ def _load_image_rgb(path: str) -> np.ndarray:
 def _resize_np(
     arr: np.ndarray, hw: Tuple[int, int], nearest: bool = False
 ) -> np.ndarray:
-    """PIL-based resize matching torchvision T.Resize semantics: bilinear
-    for images, NEAREST for attention maps."""
+    """PIL-based resize matching the reference's torchvision path: bilinear
+    for images, NEAREST for attention maps. The uint8 round-trip (255
+    levels) is intentional reference parity — the reference also builds a
+    PIL 'L' image from ``(attn * 255).astype(uint8)`` (dataloader.py:230-238).
+    """
     h, w = hw
-    if arr.ndim == 2:
-        im = Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8))
-        res = im.resize((w, h), Image.NEAREST if nearest else Image.BILINEAR)
-        return np.asarray(res, dtype=np.float32) / 255.0
     im = Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8))
     res = im.resize((w, h), Image.NEAREST if nearest else Image.BILINEAR)
     return np.asarray(res, dtype=np.float32) / 255.0

@@ -31,18 +31,37 @@ DEFAULT_LAYERS = [4, 8, 10, 12, 14, 16, 18, 20, 24]
 
 
 def _extract_at_layer(backend, images, questions, layer: int) -> np.ndarray:
-    """Extraction with a per-call layer override."""
-    old = getattr(backend, "extract_layer", None)
-    try:
-        if old is not None:
+    """Extraction with a per-call layer override. Raises for backends whose
+    layer cannot be overridden — a sweep that silently reuses one layer
+    would fabricate per-layer differences."""
+    import dataclasses
+
+    if hasattr(backend, "extract_layer"):  # LlavaBackend-style
+        old = backend.extract_layer
+        try:
             backend.extract_layer = layer
             maps, _ = backend.extract(images, questions, max_new_tokens=1)
-        else:  # mini backend: layer fixed in config; clamp
-            maps, _ = backend.extract(images, questions, max_new_tokens=1)
-        return np.asarray(maps)
-    finally:
-        if old is not None:
+        finally:
             backend.extract_layer = old
+    elif hasattr(backend, "cfg") and hasattr(backend.cfg, "extract_layer"):
+        # MiniLLaVABackend: layer lives in the frozen config
+        old_cfg = backend.cfg
+        if layer >= old_cfg.n_layers:
+            raise ValueError(
+                f"layer {layer} out of range for backend with "
+                f"{old_cfg.n_layers} layers"
+            )
+        try:
+            backend.cfg = dataclasses.replace(old_cfg, extract_layer=layer)
+            maps, _ = backend.extract(images, questions, max_new_tokens=1)
+        finally:
+            backend.cfg = old_cfg
+    else:
+        raise TypeError(
+            f"backend {type(backend).__name__} does not support per-layer "
+            "extraction"
+        )
+    return np.asarray(maps)
 
 
 def _upscale(att: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:

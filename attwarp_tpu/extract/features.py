@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from attwarp_tpu.extract.mini_llava import MiniLLaVAConfig, encode_image
-from attwarp_tpu.extract.offsets import left_pad
 
 
 class MiniFeatureExtractor:
@@ -48,9 +47,77 @@ class MiniFeatureExtractor:
     def text_tokens(
         self, texts: Sequence[str], max_len: int = 32
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """list[str] -> (ttok (B, Lt, Dt), tmask (B, Lt, 1))."""
+        """list[str] -> (ttok (B, Lt, Dt), tmask (B, Lt, 1)).
+
+        Always padded to the fixed ``max_len`` so every training batch has
+        the same text shape — per-batch max-length padding would recompile
+        the jitted train step for each distinct question length."""
         ids = [self.backend.tokenizer.encode(t)[:max_len] for t in texts]
-        padded, mask = left_pad(ids, pad_id=self.cfg.pad_id)
-        ids_arr = jnp.asarray(np.asarray(padded, np.int64).clip(0))
+        ids = [[self.cfg.pad_id] * (max_len - len(t)) + t for t in ids]
+        mask = [[1.0 if tok != self.cfg.pad_id else 0.0 for tok in t] for t in ids]
+        ids_arr = jnp.asarray(np.asarray(ids, np.int64).clip(0))
         emb = self.backend.params["tok_emb"][ids_arr]
         return emb, jnp.asarray(np.asarray(mask, np.float32))[..., None]
+
+
+class LlavaFeatureExtractor:
+    """Frozen features from a real (HF-ported) LLaVA backend — the contract
+    of the reference's missing ``LLaVAFeatHelper`` with actual weights:
+    visual tokens are the CLIP tower's pre-projection features (B, 24, 24,
+    Dv), text tokens the LLaMA input embeddings of the question."""
+
+    def __init__(self, backend, max_text_len: int = 32):
+        from attwarp_tpu.models.clip_vit import clip_vision_features
+
+        self.backend = backend
+        self.max_text_len = max_text_len
+        cfg = backend.model.cfg
+
+        def _vis(pixels):
+            return clip_vision_features(
+                backend.model.params["vision"], cfg.vision, pixels,
+                feature_layer=cfg.vision_feature_layer, drop_cls=True,
+            )
+
+        self._vis = jax.jit(_vis)
+
+    def visual_tokens(self, images: jnp.ndarray) -> jnp.ndarray:
+        """(B, H, W, 3) float [0,1] -> (B, n, n, Dv)."""
+        pixels = jnp.stack(
+            [jnp.asarray(self.backend._preprocess(np.asarray(im))) for im in images]
+        )
+        toks = self._vis(pixels)  # (B, n*n, Dv)
+        n = self.backend.num_patches_side
+        return toks.reshape(toks.shape[0], n, n, -1)
+
+    def text_tokens(self, texts: Sequence[str]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if self.backend.tokenizer is None:
+            raise RuntimeError("LlavaFeatureExtractor needs a tokenizer (from_hf)")
+        L = self.max_text_len
+        ids, mask = [], []
+        for t in texts:
+            toks = self.backend.tokenizer(t, add_special_tokens=True)["input_ids"][:L]
+            pad = L - len(toks)
+            ids.append([0] * pad + toks)
+            mask.append([0.0] * pad + [1.0] * len(toks))
+        emb = self.backend.model.params["llama"]["embed_tokens"][
+            jnp.asarray(np.asarray(ids, np.int64).clip(0))
+        ]
+        return emb, jnp.asarray(np.asarray(mask, np.float32))[..., None]
+
+
+def make_feature_extractor(cfg):
+    """Build the frozen-feature extractor named by ``cfg.mllm_backend``
+    ('mini' = test backend; 'llava'/'llava-flax' = real HF checkpoint via
+    ``cfg.mllm_model``). Unknown names raise instead of silently training
+    against random features."""
+    name = str(cfg.mllm_backend).lower()
+    if name == "mini":
+        from attwarp_tpu.extract.extraction import MiniLLaVABackend
+
+        return MiniFeatureExtractor(MiniLLaVABackend())
+    if name in ("llava", "llava-flax"):
+        from attwarp_tpu.extract.llava_backend import LlavaBackend
+
+        return LlavaFeatureExtractor(LlavaBackend.from_hf(cfg.mllm_model))
+    raise ValueError(f"unknown mllm_backend {cfg.mllm_backend!r}")

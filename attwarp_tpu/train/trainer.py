@@ -73,11 +73,13 @@ def _debug_round(
     try:
         from attwarp_tpu.warp.warp import warp_from_cdf
 
+        from attwarp_tpu.train.train_step import _prepare_attention
+
         img = jbatch["image"]
         W_img, H_img = img.shape[2], img.shape[1]
-        A = adaptive_avg_pool2d(
-            jnp.clip(jbatch["attention_map"], 0.0, None), (24, 24)
-        )
+        # same per-sample sqrt transform + pool as the training loss, so the
+        # plotted GT matches the actual optimization target
+        A = _prepare_attention(jbatch)
         px_pred, py_pred = model.apply(
             {"params": state.params}, jbatch["fmap_v"], (24, 24),
             jbatch["ttok"], jbatch["tmask"],
@@ -151,10 +153,9 @@ def train_loop(
     train_idx, val_idx = split_indices(len(dataset), 0.1, cfg.seed)
 
     if feature_extractor is None:
-        from attwarp_tpu.extract.extraction import MiniLLaVABackend
-        from attwarp_tpu.extract.features import MiniFeatureExtractor
+        from attwarp_tpu.extract.features import make_feature_extractor
 
-        feature_extractor = MiniFeatureExtractor(MiniLLaVABackend())
+        feature_extractor = make_feature_extractor(cfg)
     feats = feature_extractor
 
     # probe batch -> init
