@@ -69,6 +69,49 @@ class LlavaBackend:
             extract_layer=extract_layer,
         )
 
+    # ── native checkpointing (port from HF once, reload via orbax) ─────
+    def save(self, path: str) -> None:
+        """Persist the ported params (orbax) + config (json) so future runs
+        skip the torch/HF load entirely."""
+        import dataclasses
+        import json
+        from pathlib import Path
+
+        import orbax.checkpoint as ocp
+
+        p = Path(path).absolute()
+        p.mkdir(parents=True, exist_ok=True)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(p / "params", jax.device_get(self.model.params), force=True)
+        with open(p / "config.json", "w") as f:
+            json.dump(dataclasses.asdict(self.model.cfg), f, indent=2)
+
+    @classmethod
+    def load(cls, path: str, extract_layer: int = 20, tokenizer=None) -> "LlavaBackend":
+        """Restore a backend saved with ``save`` (no torch/transformers
+        needed; pass a tokenizer for the text-level ``extract`` API)."""
+        import json
+        from pathlib import Path
+
+        import orbax.checkpoint as ocp
+
+        p = Path(path).absolute()
+        with open(p / "config.json") as f:
+            d = json.load(f)
+        cfg = LlavaConfig(
+            vision=ClipVisionConfig(**d["vision"]),
+            text=LlamaConfig(**d["text"]),
+            vision_feature_layer=d["vision_feature_layer"],
+            projector_act=d["projector_act"],
+            image_token_index=d["image_token_index"],
+            pad_token_id=d["pad_token_id"],
+            eos_token_id=d["eos_token_id"],
+        )
+        with ocp.StandardCheckpointer() as ckptr:
+            params = ckptr.restore(p / "params")
+        return cls(LlavaModel(cfg, params), tokenizer=tokenizer,
+                   extract_layer=extract_layer)
+
     @staticmethod
     def config_from_hf(hf_cfg) -> LlavaConfig:
         v, t = hf_cfg.vision_config, hf_cfg.text_config

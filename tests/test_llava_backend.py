@@ -60,3 +60,26 @@ def test_config_from_hf_roundtrip(backend):
     assert cfg.text.kv_heads == 2
     assert cfg.image_token_index == IMG_TOKEN
     assert backend.num_patches_side == 2
+
+
+def test_backend_save_load_roundtrip(backend, rng, tmp_path):
+    import jax
+    import numpy as np
+
+    from attwarp_tpu.extract.llava_backend import LlavaBackend
+
+    backend.save(tmp_path / "ckpt")
+    restored = LlavaBackend.load(tmp_path / "ckpt", extract_layer=1)
+    a = jax.tree_util.tree_leaves(backend.model.params)
+    b = jax.tree_util.tree_leaves(restored.model.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert restored.model.cfg == backend.model.cfg
+
+    ids = rng.integers(3, 90, size=(1, 10)).astype(np.int64)
+    ids[:, 1:5] = IMG_TOKEN
+    pixels = rng.standard_normal((1, 28, 28, 3)).astype(np.float32)
+    g1, m1 = backend.extract_from_ids(ids, np.ones_like(ids), pixels, 3)
+    g2, m2 = restored.extract_from_ids(ids, np.ones_like(ids), pixels, 3)
+    np.testing.assert_array_equal(g1, g2)
+    np.testing.assert_allclose(m1, m2, atol=1e-6)
