@@ -1,0 +1,43 @@
+"""The two-pass AttWarp pipeline end to end with the mini backend."""
+
+import numpy as np
+
+from attwarp_tpu.pipeline import AttWarpPipeline
+from attwarp_tpu.warp.transforms import Transform
+
+
+def _backend():
+    from attwarp_tpu.extract.extraction import MiniLLaVABackend
+    from attwarp_tpu.extract.mini_llava import MiniLLaVAConfig
+
+    return MiniLLaVABackend(
+        MiniLLaVAConfig(
+            vocab=256, d_model=32, n_heads=2, n_layers=2, extract_layer=1,
+            num_patches=4, image_size=32, max_seq=96,
+        )
+    )
+
+
+def test_two_pass_pipeline(rng):
+    pipe = AttWarpPipeline(_backend(), warp_size=64, max_new_tokens=2,
+                           transform=Transform.SQRT)
+    imgs = [
+        (rng.random((40, 50, 3)) * 255).astype(np.uint8),
+        (rng.random((30, 30, 3)) * 255).astype(np.uint8),
+    ]
+    res = pipe.run(imgs, ["what is left?", "what color?"])
+    assert res.warped.shape == (2, 64, 64, 3)
+    assert res.attention_maps.shape == (2, 4, 4)
+    assert len(res.mota_masks) == 2
+    assert res.mota_masks[0].shape == (40, 50)
+    assert len(res.first_answers) == 2
+    assert res.second_answers is not None and len(res.second_answers) == 2
+    assert np.isfinite(res.warped).all()
+
+
+def test_pipeline_no_second_pass(rng):
+    pipe = AttWarpPipeline(_backend(), warp_size=48, second_pass=False,
+                           max_new_tokens=2)
+    res = pipe.run([(rng.random((32, 32, 3)) * 255).astype(np.uint8)], ["q?"])
+    assert res.second_answers is None
+    assert res.warped.shape == (1, 48, 48, 3)
