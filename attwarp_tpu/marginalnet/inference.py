@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from attwarp_tpu.numerics.cdf import cdf_from_density
+from attwarp_tpu.marginalnet.model import ATTENTION_GRID
 from attwarp_tpu.numerics.pooling import upsample_pdf_right_inverse
 
 
@@ -35,7 +36,7 @@ def predict_and_warp(
     from attwarp_tpu.warp.warp import warp_from_cdf
 
     H, W = images.shape[1], images.shape[2]
-    px, py = model.apply({"params": params}, fmap_v, (24, 24), ttok, tmask)
+    px, py = model.apply({"params": params}, fmap_v, ATTENTION_GRID, ttok, tmask)
     px_img = jnp.clip(upsample_pdf_right_inverse(px, W), 0.0, None)
     py_img = jnp.clip(upsample_pdf_right_inverse(py, H), 0.0, None)
     Fx = cdf_from_density(px_img)

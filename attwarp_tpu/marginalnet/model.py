@@ -21,6 +21,10 @@ from flax import linen as nn
 
 from attwarp_tpu.numerics.safe import safe_softmax
 
+# The marginal-prediction grid: 24x24 = LLaVA-1.5's visual-token layout
+# (576 patches). Single source of truth for training and inference.
+ATTENTION_GRID = (24, 24)
+
 
 class MarginalNet(nn.Module):
     hidden: int = 256

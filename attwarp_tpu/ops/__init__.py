@@ -1,5 +1,5 @@
-"""Low-level TPU ops: the warp resample kernels and (future) Pallas
-implementations. Re-exports the op-level surface of attwarp_tpu.warp."""
+"""Low-level TPU ops: the XLA resample kernels, the vectorized inverse-grid
+op, and the fused Pallas warp kernel."""
 
 from attwarp_tpu.warp.resample import (
     interp_matrix,
@@ -9,6 +9,10 @@ from attwarp_tpu.warp.resample import (
     saturate_uint8,
 )
 from attwarp_tpu.warp.grid import piecewise_linear_inverse
+from attwarp_tpu.ops.pallas_warp import (
+    warp_batch_by_attention_pallas,
+    warp_batch_pallas_cf,
+)
 
 __all__ = [
     "interp_matrix",
@@ -17,4 +21,6 @@ __all__ = [
     "remap_bilinear_separable_mm",
     "saturate_uint8",
     "piecewise_linear_inverse",
+    "warp_batch_by_attention_pallas",
+    "warp_batch_pallas_cf",
 ]

@@ -28,6 +28,16 @@ from attwarp_tpu.warp.transforms import Transform, WarpParams
 from attwarp_tpu.warp.warp import warp_batch_by_attention
 
 
+def _to_float255(im) -> np.ndarray:
+    """Dtype-aware scaling to float [0, 255] (integer dtypes are already
+    0-255; floats follow the [0,1] convention unless clearly 0-255)."""
+    arr = np.asarray(im)
+    if np.issubdtype(arr.dtype, np.integer):
+        return arr.astype(np.float32)
+    arr = arr.astype(np.float32)
+    return arr if arr.max() > 1.5 else arr * 255.0
+
+
 @dataclass
 class AttWarpResult:
     warped: np.ndarray               # (B, H, W, 3) float32
@@ -72,7 +82,10 @@ class AttWarpPipeline:
     ) -> AttWarpResult:
         from attwarp_tpu.extract.extraction import _resize_for_backend
 
-        assert len(images) == len(questions)
+        if len(images) != len(questions):
+            raise ValueError(
+                f"{len(images)} images but {len(questions)} questions"
+            )
         batch_in = np.stack(
             [_resize_for_backend(im, self.backend.image_size) for im in images]
         )
@@ -82,28 +95,31 @@ class AttWarpPipeline:
             batch_in, list(questions), max_new_tokens=self.max_new_tokens
         )
 
-        # mask + warp, per-sample at native resolution (sizes may differ)
+        # mask + warp at native resolution; dtype-aware [0,255] scaling
+        # (max()-based heuristics misclassify dark images), batched per
+        # distinct (H, W) group so same-sized images share one dispatch
         S = self.warp_size
-        masks: List[np.ndarray] = []
+        imgs255 = [_to_float255(im) for im in images]
+        masks: List[Optional[np.ndarray]] = [None] * len(images)
         warped = np.empty((len(images), S, S, 3), np.float32)
-        for b, im in enumerate(images):
-            im_arr = np.asarray(im, np.float32)
-            if im_arr.max() <= 1.5:
-                im_arr = im_arr * 255.0
+        groups: dict = {}
+        for b, im_arr in enumerate(imgs255):
             H, W = im_arr.shape[:2]
-            mask = mota_mask(
-                jnp.asarray(maps[b], jnp.float32), (H, W),
-                enhance_coe=self.enhance_coe, kernel_size=self.kernel_size,
-                quantize_like_reference=self.quantize_like_reference,
+            masks[b] = np.asarray(
+                mota_mask(
+                    jnp.asarray(maps[b], jnp.float32), (H, W),
+                    enhance_coe=self.enhance_coe, kernel_size=self.kernel_size,
+                    quantize_like_reference=self.quantize_like_reference,
+                )
             )
-            masks.append(np.asarray(mask))
-            warped[b] = np.asarray(
-                warp_batch_by_attention(
-                    jnp.asarray(im_arr)[None],
-                    jnp.asarray(mask, jnp.float32)[None],
-                    S, S, self.params,
-                )[0]
+            groups.setdefault((H, W), []).append(b)
+        for (H, W), idxs in groups.items():
+            out = warp_batch_by_attention(
+                jnp.asarray(np.stack([imgs255[b] for b in idxs])),
+                jnp.asarray(np.stack([masks[b] for b in idxs]), jnp.float32),
+                S, S, self.params,
             )
+            warped[np.asarray(idxs)] = np.asarray(out)
 
         second_answers = None
         if self.second_pass:

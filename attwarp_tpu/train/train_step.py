@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from attwarp_tpu.marginalnet.model import MarginalNet
+from attwarp_tpu.marginalnet.model import ATTENTION_GRID, MarginalNet
 from attwarp_tpu.numerics.cdf import gt_marginals
 from attwarp_tpu.numerics.losses import recon_l1
 from attwarp_tpu.numerics.pooling import adaptive_avg_pool2d, upsample_pdf_right_inverse
@@ -54,7 +54,7 @@ def create_train_state(
     fmap = sample_batch["fmap_v"][:1]
     ttok = sample_batch["ttok"][:1]
     tmask = sample_batch["tmask"][:1]
-    params = model.init(rng, fmap, (24, 24), ttok, tmask)["params"]
+    params = model.init(rng, fmap, ATTENTION_GRID, ttok, tmask)["params"]
     opt_state = make_optimizer(cfg).init(params)
     return model, TrainState(jnp.zeros((), jnp.int32), params, opt_state)
 
@@ -66,7 +66,7 @@ def _prepare_attention(batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     sqrt_mask = batch["sqrt_mask"].reshape(-1, 1, 1)  # (B,1,1) in {0,1}
     A_pos = jnp.clip(A_full, 0.0, None)
     A_full = jnp.sqrt(A_pos) * sqrt_mask + A_pos * (1.0 - sqrt_mask)
-    A = adaptive_avg_pool2d(A_full, (24, 24))
+    A = adaptive_avg_pool2d(A_full, ATTENTION_GRID)
     A = jnp.nan_to_num(A, nan=0.0, posinf=0.0, neginf=0.0)
     return jnp.clip(A, 0.0, None)
 
@@ -85,7 +85,7 @@ def loss_fn(
     W_img, H_img = img.shape[2], img.shape[1]
 
     px_pred, py_pred = model.apply(
-        {"params": params}, batch["fmap_v"], (24, 24), batch["ttok"], batch["tmask"]
+        {"params": params}, batch["fmap_v"], ATTENTION_GRID, batch["ttok"], batch["tmask"]
     )
 
     # α-uniform mix with linear decay (traced step -> jnp.maximum)

@@ -26,6 +26,7 @@ from attwarp_tpu.data.loader import batch_iterator, split_indices
 from attwarp_tpu.data.manifests import FullDataset
 from attwarp_tpu.numerics.cdf import cdf_from_density, gt_marginals
 from attwarp_tpu.numerics.pooling import adaptive_avg_pool2d, upsample_pdf_right_inverse
+from attwarp_tpu.marginalnet.model import ATTENTION_GRID
 from attwarp_tpu.train.checkpoint import save_checkpoint
 from attwarp_tpu.train.config import TrainConfig
 from attwarp_tpu.train.experiment import create_experiment_run_dir
@@ -81,7 +82,7 @@ def _debug_round(
         # plotted GT matches the actual optimization target
         A = _prepare_attention(jbatch)
         px_pred, py_pred = model.apply(
-            {"params": state.params}, jbatch["fmap_v"], (24, 24),
+            {"params": state.params}, jbatch["fmap_v"], ATTENTION_GRID,
             jbatch["ttok"], jbatch["tmask"],
         )
         px_img = jnp.clip(upsample_pdf_right_inverse(px_pred, W_img), 0.0, None)

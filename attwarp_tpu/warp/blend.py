@@ -144,6 +144,42 @@ def resize_lanczos(
     return matmul_f32(matmul_f32(Ly, x.astype(jnp.float32)), Lx.T)
 
 
+def _keys_cubic(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys bicubic kernel; a=-0.75 is cv2's INTER_CUBIC (jax.image.resize
+    'cubic' uses a=-0.5, which differs at the percent level near edges)."""
+    t = np.abs(np.asarray(t, np.float64))
+    w = np.where(
+        t <= 1.0,
+        (a + 2.0) * t**3 - (a + 3.0) * t**2 + 1.0,
+        np.where(t < 2.0, a * t**3 - 5.0 * a * t**2 + 8.0 * a * t - 4.0 * a, 0.0),
+    )
+    return w
+
+
+@lru_cache(maxsize=64)
+def _cubic_matrix_np(in_len: int, out_len: int) -> np.ndarray:
+    """(out_len, in_len) cv2-INTER_CUBIC-compatible resampling matrix:
+    half-pixel centers, Keys a=-0.75, border replicate."""
+    scale = in_len / out_len
+    M = np.zeros((out_len, in_len), dtype=np.float64)
+    for i in range(out_len):
+        s = (i + 0.5) * scale - 0.5
+        x0 = int(np.floor(s))
+        d = s - x0
+        for j in (-1, 0, 1, 2):
+            M[i, min(max(x0 + j, 0), in_len - 1)] += _keys_cubic(j - d)
+    return M
+
+
+def resize_cubic(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Separable bicubic resize ``(H, W) -> out_hw`` with cv2's kernel."""
+    out_h, out_w = out_hw
+    H, W = x.shape[-2], x.shape[-1]
+    Cy = jnp.asarray(_cubic_matrix_np(H, out_h), dtype=jnp.float32)
+    Cx = jnp.asarray(_cubic_matrix_np(W, out_w), dtype=jnp.float32)
+    return matmul_f32(matmul_f32(Cy, x.astype(jnp.float32)), Cx.T)
+
+
 def quantize_uint8_trunc(x: jnp.ndarray) -> jnp.ndarray:
     """torchvision ToPILImage float->uint8: truncate x*255 (mul(255).byte())."""
     return jnp.clip(jnp.floor(x * 255.0), 0.0, 255.0).astype(jnp.uint8)

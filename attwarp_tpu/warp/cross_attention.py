@@ -82,12 +82,14 @@ def aggregate_attention_map_for_tokens(
     if not maps_2d:
         raise ValueError("No attention maps to aggregate")
 
+    from attwarp_tpu.warp.blend import resize_cubic
+
     max_h = max(m.shape[0] for m in maps_2d)
     max_w = max(m.shape[1] for m in maps_2d)
     resized = [
         m
         if m.shape == (max_h, max_w)
-        else np.asarray(jax.image.resize(jnp.asarray(m), (max_h, max_w), "cubic"))
+        else np.asarray(resize_cubic(jnp.asarray(m), (max_h, max_w)))
         for m in maps_2d
     ]
     out = np.stack(resized, axis=0).mean(axis=0)

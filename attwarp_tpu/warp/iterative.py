@@ -58,10 +58,13 @@ def condition_attention_map(
     att_lr: jnp.ndarray, target_hw: Tuple[int, int]
 ) -> jnp.ndarray:
     """Low-res attention -> image-res conditioned map in [0, 1]."""
+    from attwarp_tpu.warp.blend import resize_cubic
+
     a = att_lr.astype(jnp.float32)
     a = a - jnp.min(a)
     a = a / (jnp.max(a) + 1e-9)
-    full = jax.image.resize(a, target_hw, method="cubic")
+    # cv2-kernel bicubic (Keys a=-0.75), matching upsample_attention_map
+    full = resize_cubic(a, target_hw)
     full = gaussian_blur(full, 5, 1.0)
     full = full - jnp.min(full)
     return full / (jnp.max(full) + 1e-9)

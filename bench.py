@@ -47,8 +47,13 @@ def main() -> int:
     @jax.jit
     def chained(images, atts):
         def body(imgs, _):
+            # the attention must depend on the carry too, otherwise XLA's
+            # loop-invariant code motion hoists the transform->marginals->
+            # CDF->grid stages out of the loop and the number measures
+            # resample-only throughput
+            atts_i = atts + imgs[0, 0, 0, 0] * 1e-20
             out = warp_batch_by_attention.__wrapped__(
-                imgs, atts, IMG, IMG, params, "mm"
+                imgs, atts_i, IMG, IMG, params, "mm"
             )
             return out, None
         out, _ = jax.lax.scan(body, images, None, length=ITERS)

@@ -100,3 +100,39 @@ def test_overlay_normalizes_after_resize(rng):
 
     top = jet_lut_rgb()[255]
     assert (ov.reshape(-1, 3) == top).any()
+
+
+def test_resize_cubic_matches_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    from attwarp_tpu.warp.blend import resize_cubic
+
+    x = rng.random((16, 16)).astype(np.float32)
+    for hw in [(48, 64), (9, 11)]:
+        ours = np.asarray(resize_cubic(jnp.asarray(x), hw))
+        ref = cv2.resize(x, (hw[1], hw[0]), interpolation=cv2.INTER_CUBIC)
+        np.testing.assert_allclose(ours, ref, atol=2e-5, err_msg=str(hw))
+
+
+def test_pipeline_dark_uint8_image(rng):
+    from attwarp_tpu.pipeline import _to_float255
+
+    dark = np.zeros((8, 8, 3), np.uint8)
+    dark[0, 0] = 1
+    out = _to_float255(dark)
+    assert out.max() == 1.0  # NOT rescaled to 255
+    float01 = rng.random((8, 8, 3)).astype(np.float32)
+    assert _to_float255(float01).max() <= 255.0 + 1e-3
+    assert _to_float255(float01).max() > 1.5  # scaled up from [0,1]
+
+
+def test_pipeline_mismatched_lengths_raise(rng):
+    from attwarp_tpu.pipeline import AttWarpPipeline
+
+    class _B:
+        image_size = 16
+
+        def extract(self, *a, **k):
+            raise AssertionError("should not be reached")
+
+    with pytest.raises(ValueError, match="questions"):
+        AttWarpPipeline(_B()).run([np.zeros((8, 8, 3), np.uint8)], ["a", "b"])
