@@ -98,12 +98,22 @@ def _debug_round(
         Fy_gt = cdf_from_density(py_gt_img)
         Wgt = jnp.clip(warp_from_cdf(img, Fx_gt, Fy_gt), 0.0, 1.0)
 
+        # validation grids get the reference's 5th row: the GT warp from the
+        # RAW full-resolution attention map (trainer.py:499-517)
+        Wgt_orig = None
+        if tag.startswith("val"):
+            pxo, pyo = gt_marginals(jbatch["attention_map"])
+            Fxo = cdf_from_density(pxo)
+            Fyo = cdf_from_density(pyo)
+            Wgt_orig = np.asarray(jnp.clip(warp_from_cdf(img, Fxo, Fyo), 0.0, 1.0))
+
         num_vis = min(4, img.shape[0])
         save_debug_grid(
             np.asarray(img), np.asarray(A), np.asarray(Wpred), np.asarray(Wgt),
             out_dir / f"{tag}_{step:06d}.png",
             questions=raw_batch.get("q_str"),
             num_vis=num_vis,
+            warped_gt_orig=Wgt_orig,
         )
         for i in range(num_vis):
             plot_axis_pdf_overlay(

@@ -141,6 +141,34 @@ def plot_axis_cdf_overlay(
             ax.legend(loc="best", fontsize=9)
             if len(idx):
                 ax.axvline(ks_i, linestyle=":", linewidth=1)
+            # auto-zoom inset around the largest discrepancy window
+            # (checkpoint_utils.py:256-303)
+            try:
+                from mpl_toolkits.axes_grid1.inset_locator import (
+                    inset_axes,
+                    mark_inset,
+                )
+
+                n_pts = len(adiff)
+                if n_pts:
+                    w_win = max(6, int(0.2 * n_pts))
+                    conv = np.convolve(adiff, np.ones(w_win), mode="valid")
+                    i0 = int(np.argmax(conv))
+                    i1 = min(i0 + w_win, n_pts - 1)
+                    if i1 > i0:
+                        axins = inset_axes(ax, width="40%", height="45%",
+                                           loc="lower right", borderpad=1.0)
+                        axins.step(idx, gt, where="mid")
+                        axins.step(idx, pred, where="mid", linestyle="--")
+                        axins.fill_between(idx, gt, pred, step="mid", alpha=0.25)
+                        axins.set_xlim(i0, i1)
+                        local = np.r_[gt[i0:i1 + 1], pred[i0:i1 + 1]]
+                        lo, hi = local.min(), local.max()
+                        pad = 0.05 * max(hi - lo, 1e-12)
+                        axins.set_ylim(max(0, lo - pad), min(1, hi + pad))
+                        mark_inset(ax, axins, loc1=2, loc2=4, fc="none", ec="0.5")
+            except Exception:
+                pass
             rx.axhline(0.0, color="k", linewidth=1)
             rx.step(idx, diff, where="mid")
             rx.fill_between(idx, 0.0, diff, step="mid", alpha=0.2)
@@ -166,9 +194,11 @@ def save_debug_grid(
     out_path: Path,
     questions: Optional[List[str]] = None,
     num_vis: int = 4,
+    warped_gt_orig: Optional[np.ndarray] = None,
 ) -> None:
-    """4-row grid [orig | heat | pred warp | gt warp] with optional question
-    side panel (trainer.py:301-311, 519-556)."""
+    """Grid [orig | heat | pred warp | ds-GT warp (| original-GT warp)] with
+    an optional question side panel (trainer.py:301-311, 506-556; the 5th
+    row is the reference's validation-only raw-attention GT warp)."""
     try:
         from PIL import Image, ImageDraw
 
@@ -183,6 +213,8 @@ def save_debug_grid(
             jax.image.resize(jnp.asarray(heat)[..., None], (heat.shape[0], H, W, 1), "linear")
         ).repeat(3, axis=-1)
         rows = [images[:n], heat_img[:n], warped_pred[:n], warped_gt[:n]]
+        if warped_gt_orig is not None:
+            rows.append(warped_gt_orig[:n])
         grid = np.concatenate(
             [np.concatenate(list(r), axis=1) for r in rows], axis=0
         )
