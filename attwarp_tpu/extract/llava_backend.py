@@ -50,8 +50,11 @@ class LlavaBackend:
 
     # ── loading ────────────────────────────────────────────────────────
     @classmethod
-    def from_hf(cls, model_path: str, extract_layer: int = 20) -> "LlavaBackend":
-        """Load an HF LLaVA checkpoint (local path or hub id) and port it."""
+    def from_hf(
+        cls, model_path: str, extract_layer: int = 20, dtype=None
+    ) -> "LlavaBackend":
+        """Load an HF LLaVA checkpoint (local path or hub id) and port it.
+        ``dtype=jnp.bfloat16`` halves serving HBM (7B fits one v5e)."""
         import torch
         from transformers import AutoProcessor, LlavaForConditionalGeneration
 
@@ -60,7 +63,9 @@ class LlavaBackend:
         )
         processor = AutoProcessor.from_pretrained(model_path)
         cfg = cls.config_from_hf(hf.config)
-        params = port_hf_llava_weights(hf.state_dict(), cfg)
+        params = port_hf_llava_weights(
+            hf.state_dict(), cfg, dtype=dtype if dtype is not None else jnp.float32
+        )
         del hf
         return cls(
             LlavaModel(cfg, params),

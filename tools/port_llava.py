@@ -27,23 +27,18 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from attwarp_tpu.extract.llava_backend import LlavaBackend
-    from attwarp_tpu.models.llava import LlavaModel, port_hf_llava_weights
 
-    import torch
-    from transformers import LlavaForConditionalGeneration
-
-    print(f"Loading HF checkpoint {args.hf_path} ...")
-    hf = LlavaForConditionalGeneration.from_pretrained(
-        args.hf_path, torch_dtype=torch.float32, low_cpu_mem_usage=True
-    )
-    cfg = LlavaBackend.config_from_hf(hf.config)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    params = port_hf_llava_weights(hf.state_dict(), cfg, dtype=dtype)
-    del hf
-    backend = LlavaBackend(LlavaModel(cfg, params), extract_layer=args.extract_layer)
+    print(f"Loading HF checkpoint {args.hf_path} ...")
+    backend = LlavaBackend.from_hf(
+        args.hf_path, extract_layer=args.extract_layer, dtype=dtype
+    )
     backend.save(args.out)
-    print(f"Ported to {args.out} (dtype={dtype.__name__}). Restore with "
-          f"LlavaBackend.load({args.out!r}).")
+    print(
+        f"Ported to {args.out} (dtype={dtype.__name__}). Restore with "
+        f"LlavaBackend.load({args.out!r}) — pass the HF tokenizer for the "
+        "text-level extract API (only params+config are stored natively)."
+    )
     return 0
 
 
