@@ -67,6 +67,13 @@ class AttWarpPipeline:
     max_new_tokens: int = 20
     second_pass: bool = True
     quantize_like_reference: bool = True
+    # Dynamic image sizes are the reference's native mode but hostile to XLA
+    # (one compilation per distinct shape — SURVEY §7 'hard parts'). With
+    # size_bucket > 0 each image is bilinearly resized so H and W round up
+    # to the bucket multiple (capped at max_side), bounding the number of
+    # compiled shapes. 0 = warp at exact native sizes.
+    size_bucket: int = 64
+    max_side: int = 1024
     params: WarpParams = field(init=False)
 
     def __post_init__(self):
@@ -99,7 +106,7 @@ class AttWarpPipeline:
         # (max()-based heuristics misclassify dark images), batched per
         # distinct (H, W) group so same-sized images share one dispatch
         S = self.warp_size
-        imgs255 = [_to_float255(im) for im in images]
+        imgs255 = [self._bucket_size(_to_float255(im)) for im in images]
         masks: List[Optional[np.ndarray]] = [None] * len(images)
         warped = np.empty((len(images), S, S, 3), np.float32)
         groups: dict = {}
@@ -137,3 +144,22 @@ class AttWarpPipeline:
             first_answers=list(first_answers),
             second_answers=second_answers,
         )
+
+    def _bucket_size(self, im: np.ndarray) -> np.ndarray:
+        """Round (H, W) up to the size bucket (and down to max_side) so the
+        number of distinct compiled warp shapes stays bounded."""
+        if self.size_bucket <= 0:
+            return im
+        import jax
+
+        H, W = im.shape[:2]
+        b = self.size_bucket
+
+        def snap(n):
+            return min(((n + b - 1) // b) * b, self.max_side)
+
+        H2, W2 = snap(H), snap(W)
+        if (H2, W2) == (H, W):
+            return im
+        out = jax.image.resize(jnp.asarray(im), (H2, W2, im.shape[2]), "linear")
+        return np.asarray(out, np.float32)

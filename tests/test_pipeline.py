@@ -20,7 +20,7 @@ def _backend():
 
 def test_two_pass_pipeline(rng):
     pipe = AttWarpPipeline(_backend(), warp_size=64, max_new_tokens=2,
-                           transform=Transform.SQRT)
+                           transform=Transform.SQRT, size_bucket=0)
     imgs = [
         (rng.random((40, 50, 3)) * 255).astype(np.uint8),
         (rng.random((30, 30, 3)) * 255).astype(np.uint8),
@@ -41,3 +41,21 @@ def test_pipeline_no_second_pass(rng):
     res = pipe.run([(rng.random((32, 32, 3)) * 255).astype(np.uint8)], ["q?"])
     assert res.second_answers is None
     assert res.warped.shape == (1, 48, 48, 3)
+
+
+def test_pipeline_size_bucketing(rng):
+    """Odd native sizes snap up to the bucket so compiled warp shapes stay
+    bounded; identical buckets share one group."""
+    pipe = AttWarpPipeline(_backend(), warp_size=32, second_pass=False,
+                           max_new_tokens=2, size_bucket=16, max_side=64)
+    imgs = [
+        (rng.random((33, 47, 3)) * 255).astype(np.uint8),   # -> (48, 48)
+        (rng.random((41, 48, 3)) * 255).astype(np.uint8),   # -> (48, 48)
+        (rng.random((100, 20, 3)) * 255).astype(np.uint8),  # -> (64, 32) capped
+    ]
+    res = pipe.run(imgs, ["a", "b", "c"])
+    assert res.mota_masks[0].shape == (48, 48)
+    assert res.mota_masks[1].shape == (48, 48)
+    assert res.mota_masks[2].shape == (64, 32)
+    assert res.warped.shape == (3, 32, 32, 3)
+    assert np.isfinite(res.warped).all()
