@@ -20,6 +20,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MLLM backend ('mini' = test backend)")
     p.add_argument("--max-new-tokens", type=int, default=64)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--score-original", action="store_true",
+                   help="also score the unwarped images and report the "
+                        "warped-vs-original accuracy delta")
     return p
 
 
@@ -41,11 +44,17 @@ def main(argv=None) -> int:
         model_name=args.model,
         max_new_tokens=args.max_new_tokens,
         limit=args.limit,
+        score_original=args.score_original,
     )
     print(
         f"Overall Warped Accuracy: {res['overall_warped_accuracy']:.4f} "
         f"({res['total_samples_evaluated']} samples)"
     )
+    if "accuracy_gain" in res:
+        print(
+            f"Original Accuracy: {res['overall_original_accuracy']:.4f} | "
+            f"Warped-vs-Original Gain: {res['accuracy_gain']:+.4f}"
+        )
     return 0
 
 

@@ -55,6 +55,7 @@ def evaluate_textvqa_accuracy(
     model_name: str = "attwarp-tpu-mllm",
     max_new_tokens: int = 64,
     limit: Optional[int] = None,
+    score_original: bool = False,
 ) -> Dict:
     os.makedirs(output_dir, exist_ok=True)
     ts = time.strftime("%Y%m%d_%H%M%S")
@@ -77,7 +78,10 @@ def evaluate_textvqa_accuracy(
     if not files:
         raise FileNotFoundError(f"No metadata JSON files found in {metadata_dir}")
 
-    overall = {"warped": {"correct": 0, "total": 0}}
+    overall = {
+        "warped": {"correct": 0, "total": 0},
+        "original": {"correct": 0, "total": 0},
+    }
     detailed: List[Dict] = []
     counter = 0
 
@@ -104,18 +108,36 @@ def evaluate_textvqa_accuracy(
             pred = raw.strip()
             correct = calculate_vqa_accuracy(pred, gts, threshold=1)
 
+            record = {
+                "sample_id": sample_id,
+                "question": question,
+                "ground_truth_answers": gts,
+                "warped_answer": raw,
+                "warped_correct": bool(correct),
+            }
+
+            # the paper's claim is the warped-vs-original DELTA: optionally
+            # score the unwarped image too (the reference harness only
+            # scored warped; the original baseline ran as a separate job)
+            if score_original:
+                orig_path = saved.get("original_image")
+                if orig_path and os.path.exists(orig_path):
+                    with Image.open(orig_path) as im:
+                        oimg = np.asarray(im.convert("RGB"))
+                    oraw = backend.answer(oimg, question, max_new_tokens)
+                    if oraw is not None:
+                        ocorrect = calculate_vqa_accuracy(
+                            oraw.strip(), gts, threshold=1
+                        )
+                        overall["original"]["total"] += 1
+                        overall["original"]["correct"] += int(ocorrect)
+                        record["original_answer"] = oraw
+                        record["original_correct"] = bool(ocorrect)
+
             overall["warped"]["total"] += 1
             overall["warped"]["correct"] += int(correct)
             counter += 1
-            detailed.append(
-                {
-                    "sample_id": sample_id,
-                    "question": question,
-                    "ground_truth_answers": gts,
-                    "warped_answer": raw,
-                    "warped_correct": bool(correct),
-                }
-            )
+            detailed.append(record)
 
             tot = overall["warped"]["total"]
             cor = overall["warped"]["correct"]
@@ -168,6 +190,10 @@ def evaluate_textvqa_accuracy(
         "total_samples_evaluated": tot,
         "detailed_results": detailed,
     }
+    if score_original and overall["original"]["total"]:
+        oacc = overall["original"]["correct"] / overall["original"]["total"]
+        final["overall_original_accuracy"] = oacc
+        final["accuracy_gain"] = acc - oacc
     with open(os.path.join(output_dir, f"textvqa_accuracy_{ts}.json"), "w", encoding="utf-8") as f:
         json.dump(final, f, indent=2, ensure_ascii=False)
     with open(os.path.join(output_dir, f"textvqa_accuracy_{ts}_summary.txt"), "w", encoding="utf-8") as f:
