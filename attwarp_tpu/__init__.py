@@ -29,3 +29,31 @@ there is no mutable module-global state (the reference's
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level convenience exports (kept lazy so `import attwarp_tpu`
+# stays cheap and doesn't pull in jax before the caller configures it).
+_LAZY = {
+    "AttWarpPipeline": ("attwarp_tpu.pipeline", "AttWarpPipeline"),
+    "warp_batch_by_attention": ("attwarp_tpu.warp", "warp_batch_by_attention"),
+    "warp_image_by_attention": ("attwarp_tpu.warp", "warp_image_by_attention"),
+    "warp_from_cdf": ("attwarp_tpu.warp", "warp_from_cdf"),
+    "WarpParams": ("attwarp_tpu.warp", "WarpParams"),
+    "Transform": ("attwarp_tpu.warp", "Transform"),
+    "mota_mask": ("attwarp_tpu.warp", "mota_mask"),
+    "MarginalNet": ("attwarp_tpu.marginalnet", "MarginalNet"),
+    "predict_and_warp": ("attwarp_tpu.marginalnet", "predict_and_warp"),
+    "llava_api": ("attwarp_tpu.extract", "llava_api"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'attwarp_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
