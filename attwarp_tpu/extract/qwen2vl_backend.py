@@ -1,0 +1,170 @@
+"""Qwen2-VL extraction backend.
+
+Second model family behind the same duck-typed interface as the LLaVA and
+mini backends. The reference's training artifacts came from a Qwen pipeline
+(dataset roots ``*_qwen_multilayer``), so Qwen-class attention extraction is
+a first-class path, not an ablation.
+
+The attention-map side length follows the image: a ``size×size`` input gives
+``(size / (patch*merge))²`` merged vision tokens (e.g. 448px -> 16×16); the
+warp engine consumes any grid, so no 24×24 assumption leaks in.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import jax
+
+from attwarp_tpu.models.qwen2vl import (
+    Qwen2VLConfig,
+    Qwen2VLModel,
+    Qwen2VLTextConfig,
+    Qwen2VLVisionConfig,
+    patchify_image,
+    port_hf_qwen2vl_weights,
+)
+
+# Qwen2-VL processors normalize with the OPENAI CLIP statistics.
+from attwarp_tpu.models.clip_vit import CLIP_MEAN, CLIP_STD
+
+
+class Qwen2VLBackend:
+    def __init__(self, model: Qwen2VLModel, tokenizer=None,
+                 extract_layer: int = 20, image_size: int = 448):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.extract_layer = extract_layer
+        # input side; must be divisible by patch*merge (28)
+        unit = model.cfg.vision.patch_size * model.cfg.vision.spatial_merge_size
+        assert image_size % unit == 0, (image_size, unit)
+        self.image_size = image_size
+        self.name = "qwen2vl-jax"
+
+    @classmethod
+    def from_hf(cls, model_path: str, extract_layer: int = 20,
+                image_size: int = 448, dtype=None) -> "Qwen2VLBackend":
+        import jax.numpy as jnp
+        import torch
+        from transformers import AutoProcessor, Qwen2VLForConditionalGeneration
+
+        hf = Qwen2VLForConditionalGeneration.from_pretrained(
+            model_path, torch_dtype=torch.float32, low_cpu_mem_usage=True
+        )
+        processor = AutoProcessor.from_pretrained(model_path)
+        cfg = cls.config_from_hf(hf.config)
+        params = port_hf_qwen2vl_weights(
+            hf.state_dict(), cfg, dtype=dtype if dtype is not None else jnp.float32
+        )
+        del hf
+        return cls(Qwen2VLModel(cfg, params), tokenizer=processor.tokenizer,
+                   extract_layer=extract_layer, image_size=image_size)
+
+    @staticmethod
+    def config_from_hf(hf_cfg) -> Qwen2VLConfig:
+        v, t = hf_cfg.vision_config, hf_cfg.text_config
+        mrope = (t.rope_scaling or {}).get("mrope_section", [16, 24, 24])
+        return Qwen2VLConfig(
+            vision=Qwen2VLVisionConfig(
+                depth=v.depth, embed_dim=v.embed_dim, hidden_size=v.hidden_size,
+                num_heads=v.num_heads, in_channels=v.in_channels,
+                patch_size=v.patch_size, spatial_merge_size=v.spatial_merge_size,
+                temporal_patch_size=v.temporal_patch_size,
+                mlp_ratio=v.mlp_ratio, hidden_act=v.hidden_act,
+            ),
+            text=Qwen2VLTextConfig(
+                vocab_size=t.vocab_size, hidden_size=t.hidden_size,
+                intermediate_size=t.intermediate_size,
+                num_hidden_layers=t.num_hidden_layers,
+                num_attention_heads=t.num_attention_heads,
+                num_key_value_heads=t.num_key_value_heads,
+                rms_norm_eps=t.rms_norm_eps, rope_theta=t.rope_theta,
+                mrope_section=tuple(mrope),
+            ),
+            image_token_id=hf_cfg.image_token_id,
+            vision_start_token_id=hf_cfg.vision_start_token_id,
+            eos_token_id=_scalar(getattr(t, "eos_token_id", None) or 151645),
+        )
+
+    @property
+    def num_patches_side(self) -> int:
+        unit = self.model.cfg.vision.patch_size * self.model.cfg.vision.spatial_merge_size
+        return self.image_size // unit
+
+    # ── ids-level extraction ────────────────────────────────────────────
+    def extract_from_ids(
+        self,
+        input_ids: np.ndarray,       # (B, T) with expanded image tokens
+        attention_mask: np.ndarray,  # (B, T)
+        image: np.ndarray,           # (S, S, 3) CLIP-normalized float
+        max_new_tokens: int = 20,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        patches, grid = patchify_image(image, self.model.cfg.vision)
+        gen, maps = self.model.generate_with_attention(
+            np.asarray(input_ids), patches, grid, np.asarray(attention_mask),
+            extract_layer=self.extract_layer, max_new_tokens=max_new_tokens,
+        )
+        return np.asarray(gen), np.asarray(maps)
+
+    # ── text-level extraction (needs a tokenizer) ───────────────────────
+    def extract(
+        self,
+        images: np.ndarray,          # (B, H, W, 3)
+        questions: Sequence[str],
+        max_new_tokens: int = 20,
+    ) -> Tuple[np.ndarray, List[str]]:
+        if self.tokenizer is None:
+            raise RuntimeError("Qwen2VLBackend.extract needs a tokenizer "
+                               "(from_hf); use extract_from_ids otherwise")
+        cfg = self.model.cfg
+        n_tok = self.num_patches_side ** 2
+        from attwarp_tpu.extract.offsets import left_pad
+
+        ids_list = []
+        for q in questions:
+            prompt = (
+                f"<|im_start|>user\n{q}<|im_end|>\n<|im_start|>assistant\n"
+            )
+            toks = self.tokenizer(prompt, add_special_tokens=False)["input_ids"]
+            ids = (
+                [cfg.vision_start_token_id]
+                + [cfg.image_token_id] * n_tok
+                + toks
+            )
+            ids_list.append(ids)
+        padded, mask = left_pad(ids_list, pad_id=cfg.pad_token_id, bucket=64)
+
+        maps_out, texts = [], []
+        for b in range(len(images)):
+            img = self._preprocess(images[b])
+            gen, maps = self.extract_from_ids(
+                np.asarray([padded[b]]), np.asarray([mask[b]]), img,
+                max_new_tokens,
+            )
+            maps_out.append(maps[0])
+            out = []
+            for tok in gen[0]:
+                if int(tok) == cfg.eos_token_id:
+                    break
+                out.append(int(tok))
+            texts.append(self.tokenizer.decode(out, skip_special_tokens=True).strip())
+        return np.stack(maps_out), texts
+
+    def _preprocess(self, image: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        arr = np.asarray(image)
+        if np.issubdtype(arr.dtype, np.integer):
+            arr = arr.astype(np.float32) / 255.0
+        elif arr.max() > 1.5:
+            arr = arr.astype(np.float32) / 255.0
+        S = self.image_size
+        out = jax.image.resize(jnp.asarray(arr, jnp.float32), (S, S, 3), "linear")
+        return np.asarray((out - CLIP_MEAN) / CLIP_STD, np.float32)
+
+
+def _scalar(eos) -> int:
+    if isinstance(eos, (list, tuple)):
+        eos = eos[0] if eos else 151645
+    return int(eos)

@@ -17,6 +17,11 @@ from attwarp_tpu.models.llava import (
     LlavaModel,
     port_hf_llava_weights,
 )
+from attwarp_tpu.models.qwen2vl import (
+    Qwen2VLConfig,
+    Qwen2VLModel,
+    port_hf_qwen2vl_weights,
+)
 from attwarp_tpu.extract.mini_llava import MiniLLaVAConfig  # noqa: F401
 
 __all__ = [
@@ -28,5 +33,8 @@ __all__ = [
     "LlavaConfig",
     "LlavaModel",
     "port_hf_llava_weights",
+    "Qwen2VLConfig",
+    "Qwen2VLModel",
+    "port_hf_qwen2vl_weights",
     "MiniLLaVAConfig",
 ]

@@ -1,0 +1,73 @@
+"""Qwen2VLBackend ids-level extraction over the tiny ported model."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from attwarp_tpu.extract.qwen2vl_backend import Qwen2VLBackend
+from attwarp_tpu.models.qwen2vl import Qwen2VLModel, port_hf_qwen2vl_weights
+
+IMG_TOKEN = 97
+VSTART = 96
+
+
+@pytest.fixture(scope="module")
+def backend():
+    from transformers import (
+        Qwen2VLConfig as HFQwen2VLConfig,
+        Qwen2VLForConditionalGeneration,
+    )
+
+    torch.manual_seed(0)
+    hf = Qwen2VLForConditionalGeneration(
+        HFQwen2VLConfig(
+            text_config=dict(
+                vocab_size=128, hidden_size=48, intermediate_size=96,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2, rope_theta=10000.0,
+                rope_scaling={"type": "mrope", "mrope_section": [2, 2, 2]},
+                max_position_embeddings=512,
+            ),
+            vision_config=dict(
+                depth=2, embed_dim=32, hidden_size=48, num_heads=2,
+                patch_size=14, spatial_merge_size=2, temporal_patch_size=2,
+                mlp_ratio=2, hidden_act="quick_gelu",
+            ),
+            image_token_id=IMG_TOKEN,
+            video_token_id=98,
+            vision_start_token_id=VSTART,
+        )
+    ).eval()
+    cfg = Qwen2VLBackend.config_from_hf(hf.config)
+    params = port_hf_qwen2vl_weights(hf.state_dict(), cfg)
+    return Qwen2VLBackend(
+        Qwen2VLModel(cfg, params), extract_layer=1, image_size=56
+    )
+
+
+def test_extract_from_ids(backend, rng):
+    n_tok = backend.num_patches_side ** 2
+    assert n_tok == 4
+    ids = rng.integers(3, 90, size=(2, 8 + n_tok)).astype(np.int64)
+    ids[:, 1] = VSTART
+    ids[:, 2 : 2 + n_tok] = IMG_TOKEN
+    mask = np.ones_like(ids)
+    img = rng.standard_normal((56, 56, 3)).astype(np.float32)
+    gen, maps = backend.extract_from_ids(ids, mask, img, max_new_tokens=3)
+    assert gen.shape == (2, 3)
+    assert maps.shape == (2, 2, 2)
+    assert np.isfinite(maps).all() and (maps >= 0).all()
+    np.testing.assert_allclose(maps.reshape(2, -1).sum(-1), 1.0, atol=1e-5)
+
+
+def test_backend_grid_assertion():
+    import dataclasses
+
+    from attwarp_tpu.models.qwen2vl import Qwen2VLConfig
+
+    with pytest.raises(AssertionError):
+        Qwen2VLBackend(
+            Qwen2VLModel(Qwen2VLConfig(), {}), image_size=100  # not /28
+        )
