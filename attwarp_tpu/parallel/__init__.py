@@ -7,7 +7,12 @@ from attwarp_tpu.parallel.mesh import (
     shard_params,
 )
 from attwarp_tpu.parallel.warp_sharded import make_sharded_warp
-from attwarp_tpu.parallel.llava_sharding import llava_param_specs, shard_llava_params
+from attwarp_tpu.parallel.llava_sharding import (
+    llava_param_specs,
+    qwen2vl_param_specs,
+    shard_llava_params,
+    shard_qwen2vl_params,
+)
 
 __all__ = [
     "make_mesh",
@@ -17,4 +22,6 @@ __all__ = [
     "make_sharded_warp",
     "llava_param_specs",
     "shard_llava_params",
+    "qwen2vl_param_specs",
+    "shard_qwen2vl_params",
 ]

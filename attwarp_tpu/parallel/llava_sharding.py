@@ -95,10 +95,77 @@ def _divisible(leaf, spec: P, mesh: Mesh) -> P:
 
 def shard_llava_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Place a LLaVA parameter pytree with tensor-parallel shardings."""
-    specs = llava_param_specs(params)
+    return _place(params, llava_param_specs(params), mesh)
 
+
+def _place(params, specs, mesh: Mesh):
     def place(leaf, spec):
         spec = _divisible(leaf, spec, mesh)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(place, params, specs)
+
+
+# ── Qwen2-VL (same Megatron layout; different pytree shape) ────────────
+
+
+def _qwen_text_layer_specs() -> Dict[str, Any]:
+    col = {"weight": P("model", None), "bias": P("model")}
+    return {
+        "input_layernorm": P(),
+        "post_attention_layernorm": P(),
+        "q_proj": col,
+        "k_proj": col,
+        "v_proj": col,
+        "o_proj": P(None, "model"),
+        "gate_proj": P("model", None),
+        "up_proj": P("model", None),
+        "down_proj": P(None, "model"),
+    }
+
+
+def _qwen_vision_block_specs() -> Dict[str, Any]:
+    rep = {"weight": P(), "bias": P()}
+    return {
+        "norm1": rep,
+        "norm2": rep,
+        "qkv": {"weight": P("model", None), "bias": P("model")},
+        "proj": {"weight": P(None, "model"), "bias": P()},
+        "fc1": {"weight": P("model", None), "bias": P("model")},
+        "fc2": {"weight": P(None, "model"), "bias": P()},
+    }
+
+
+def qwen2vl_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+    specs: Dict[str, Any] = {
+        "vision": {
+            "patch_weight": P("model", None),
+            "blocks": [
+                _qwen_vision_block_specs() for _ in params["vision"]["blocks"]
+            ],
+            "merger": {
+                "ln_q": {"weight": P(), "bias": P()},
+                "fc1": {"weight": P("model", None), "bias": P("model")},
+                "fc2": {"weight": P(None, "model"), "bias": P()},
+            },
+        },
+        "text": {
+            "embed_tokens": P("model", None),
+            "norm": P(),
+            "layers": [
+                _qwen_text_layer_specs() for _ in params["text"]["layers"]
+            ],
+        },
+    }
+    if "lm_head" in params["text"]:
+        specs["text"]["lm_head"] = P("model", None)
+    return specs
+
+
+def shard_qwen2vl_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Tensor-parallel placement for a Qwen2-VL parameter pytree.
+
+    XLA SPMD preserves semantics regardless of how the fused vision qkv
+    splits across the q/k/v boundary; alignment only affects how much
+    resharding traffic the partitioner inserts."""
+    return _place(params, qwen2vl_param_specs(params), mesh)

@@ -71,3 +71,32 @@ def test_backend_grid_assertion():
         Qwen2VLBackend(
             Qwen2VLModel(Qwen2VLConfig(), {}), image_size=100  # not /28
         )
+
+
+def test_qwen_tp_sharded_generate_matches(backend, rng):
+    import jax
+
+    from attwarp_tpu.models.qwen2vl import Qwen2VLModel, patchify_image
+    from attwarp_tpu.parallel import make_mesh
+    from attwarp_tpu.parallel.llava_sharding import shard_qwen2vl_params
+
+    assert len(jax.devices()) >= 8
+    model = backend.model
+    n_tok = 4
+    ids = rng.integers(3, 90, size=(2, 9 + n_tok)).astype(np.int64)
+    ids[:, 1] = VSTART
+    ids[:, 2 : 2 + n_tok] = IMG_TOKEN
+    mask = np.ones_like(ids)
+    img = rng.standard_normal((56, 56, 3)).astype(np.float32)
+    patches, grid = patchify_image(img, model.cfg.vision)
+
+    gen_ref, maps_ref = model.generate_with_attention(
+        ids, patches, grid, mask, extract_layer=1, max_new_tokens=3
+    )
+    mesh = make_mesh(n_data=4, n_model=2)
+    tp = Qwen2VLModel(model.cfg, shard_qwen2vl_params(model.params, mesh))
+    gen_tp, maps_tp = tp.generate_with_attention(
+        ids, patches, grid, mask, extract_layer=1, max_new_tokens=3
+    )
+    np.testing.assert_array_equal(np.asarray(gen_tp), np.asarray(gen_ref))
+    np.testing.assert_allclose(np.asarray(maps_tp), np.asarray(maps_ref), atol=1e-5)
