@@ -106,11 +106,59 @@ class LlavaFeatureExtractor:
         return emb, jnp.asarray(np.asarray(mask, np.float32))[..., None]
 
 
+class Qwen2VLFeatureExtractor:
+    """Frozen features from a Qwen2-VL backend (the reference's training
+    artifacts are Qwen-produced — dataset roots ``*_qwen_multilayer``):
+    visual tokens are the merged vision features reshaped to the merged
+    grid; text tokens the Qwen input embeddings."""
+
+    def __init__(self, backend, max_text_len: int = 32):
+        from attwarp_tpu.models.qwen2vl import (
+            patchify_image,
+            qwen2vl_vision_features,
+        )
+
+        self.backend = backend
+        self.max_text_len = max_text_len
+        self._patchify = patchify_image
+        self._features = qwen2vl_vision_features
+
+    def visual_tokens(self, images: jnp.ndarray) -> jnp.ndarray:
+        """(B, H, W, 3) float [0,1] -> (B, n, n, D) merged vision features."""
+        n = self.backend.num_patches_side
+        vcfg = self.backend.model.cfg.vision
+        outs = []
+        for b in range(images.shape[0]):
+            img = self.backend._preprocess(np.asarray(images[b]))
+            patches, grid = self._patchify(img, vcfg)
+            feats = self._features(
+                self.backend.model.params["vision"], vcfg,
+                jnp.asarray(patches), (grid[1], grid[2]),
+            )
+            outs.append(feats.reshape(n, n, -1))
+        return jnp.stack(outs)
+
+    def text_tokens(self, texts: Sequence[str]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if self.backend.tokenizer is None:
+            raise RuntimeError("Qwen2VLFeatureExtractor needs a tokenizer")
+        L = self.max_text_len
+        ids, mask = [], []
+        for t in texts:
+            toks = self.backend.tokenizer(t, add_special_tokens=False)["input_ids"][:L]
+            pad = L - len(toks)
+            ids.append([0] * pad + toks)
+            mask.append([0.0] * pad + [1.0] * len(toks))
+        emb = self.backend.model.params["text"]["embed_tokens"][
+            jnp.asarray(np.asarray(ids, np.int64).clip(0))
+        ]
+        return emb, jnp.asarray(np.asarray(mask, np.float32))[..., None]
+
+
 def make_feature_extractor(cfg):
     """Build the frozen-feature extractor named by ``cfg.mllm_backend``
-    ('mini' = test backend; 'llava'/'llava-flax' = real HF checkpoint via
-    ``cfg.mllm_model``). Unknown names raise instead of silently training
-    against random features."""
+    ('mini' = test backend; 'llava'/'llava-flax' or 'qwen2vl' = real HF
+    checkpoint via ``cfg.mllm_model``). Unknown names raise instead of
+    silently training against random features."""
     name = str(cfg.mllm_backend).lower()
     if name == "mini":
         from attwarp_tpu.extract.extraction import MiniLLaVABackend
@@ -120,4 +168,8 @@ def make_feature_extractor(cfg):
         from attwarp_tpu.extract.llava_backend import LlavaBackend
 
         return LlavaFeatureExtractor(LlavaBackend.from_hf(cfg.mllm_model))
+    if name in ("qwen2vl", "qwen2-vl", "qwen"):
+        from attwarp_tpu.extract.qwen2vl_backend import Qwen2VLBackend
+
+        return Qwen2VLFeatureExtractor(Qwen2VLBackend.from_hf(cfg.mllm_model))
     raise ValueError(f"unknown mllm_backend {cfg.mllm_backend!r}")

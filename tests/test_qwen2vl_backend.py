@@ -100,3 +100,16 @@ def test_qwen_tp_sharded_generate_matches(backend, rng):
     )
     np.testing.assert_array_equal(np.asarray(gen_tp), np.asarray(gen_ref))
     np.testing.assert_allclose(np.asarray(maps_tp), np.asarray(maps_ref), atol=1e-5)
+
+
+def test_qwen_feature_extractor(backend, rng):
+    from attwarp_tpu.extract.features import Qwen2VLFeatureExtractor
+
+    fx = Qwen2VLFeatureExtractor(backend)
+    imgs = rng.random((2, 40, 44, 3)).astype(np.float32)
+    toks = fx.visual_tokens(imgs)
+    n = backend.num_patches_side
+    assert toks.shape == (2, n, n, backend.model.cfg.vision.hidden_size)
+    assert np.isfinite(np.asarray(toks)).all()
+    with pytest.raises(RuntimeError, match="tokenizer"):
+        fx.text_tokens(["q"])
