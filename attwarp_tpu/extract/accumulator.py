@@ -74,11 +74,12 @@ def accumulate_step(
     )
 
 
-def finalize(carry: AttnCarry, side: int = 24) -> jnp.ndarray:
-    """Mean over steps -> (B, side, side); uniform fallback when no step was
-    accumulated (llava.py:126-128, 404-408)."""
+def finalize(carry: AttnCarry, side: int = 24, side_w: int | None = None) -> jnp.ndarray:
+    """Mean over steps -> (B, side, side_w or side); uniform fallback when no
+    step was accumulated (llava.py:126-128, 404-408). ``side_w`` supports
+    rectangular grids (Qwen2-VL on non-square images)."""
     n = carry.total.shape[-1]
     uniform = jnp.full_like(carry.total, 1.0 / n)
     mean = carry.total / jnp.clip(carry.count[:, None], 1.0, None)
     out = jnp.where(carry.count[:, None] > 0, mean, uniform)
-    return out.reshape(out.shape[0], side, side)
+    return out.reshape(out.shape[0], side, side_w if side_w is not None else side)

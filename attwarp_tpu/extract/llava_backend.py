@@ -142,6 +142,10 @@ class LlavaBackend:
             ),
             vision_feature_layer=getattr(hf_cfg, "vision_feature_layer", -2),
             image_token_index=hf_cfg.image_token_index,
+            pad_token_id=_scalar_eos(
+                getattr(hf_cfg, "pad_token_id", None)
+                or getattr(hf_cfg.text_config, "eos_token_id", 2)
+            ),
             eos_token_id=_scalar_eos(getattr(hf_cfg.text_config, "eos_token_id", 2)),
         )
 

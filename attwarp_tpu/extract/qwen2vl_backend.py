@@ -27,6 +27,7 @@ from attwarp_tpu.models.qwen2vl import (
 )
 
 # Qwen2-VL processors normalize with the OPENAI CLIP statistics.
+from attwarp_tpu.extract.llava_backend import _scalar_eos
 from attwarp_tpu.models.clip_vit import CLIP_MEAN, CLIP_STD
 
 
@@ -39,6 +40,12 @@ class Qwen2VLBackend:
         # input side; must be divisible by patch*merge (28)
         unit = model.cfg.vision.patch_size * model.cfg.vision.spatial_merge_size
         assert image_size % unit == 0, (image_size, unit)
+        n_layers = model.cfg.text.num_hidden_layers
+        if not 0 <= extract_layer < n_layers:
+            raise ValueError(
+                f"extract_layer {extract_layer} out of range for "
+                f"{n_layers}-layer model"
+            )
         self.image_size = image_size
         self.name = "qwen2vl-jax"
 
@@ -84,7 +91,13 @@ class Qwen2VLBackend:
             ),
             image_token_id=hf_cfg.image_token_id,
             vision_start_token_id=hf_cfg.vision_start_token_id,
-            eos_token_id=_scalar(getattr(t, "eos_token_id", None) or 151645),
+            vision_end_token_id=getattr(hf_cfg, "vision_end_token_id", 151653),
+            pad_token_id=_scalar_eos(
+                getattr(hf_cfg, "pad_token_id", None)
+                or getattr(t, "eos_token_id", None)
+                or 151643
+            ),
+            eos_token_id=_scalar_eos(getattr(t, "eos_token_id", None) or 151645),
         )
 
     @property
@@ -121,18 +134,26 @@ class Qwen2VLBackend:
         n_tok = self.num_patches_side ** 2
         from attwarp_tpu.extract.offsets import left_pad
 
+        # Qwen2-VL chat template: system turn, then the vision block INSIDE
+        # the user turn bounded by <|vision_start|>/<|vision_end|>
+        prefix_ids = self.tokenizer(
+            "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
+            "<|im_start|>user\n",
+            add_special_tokens=False,
+        )["input_ids"]
         ids_list = []
         for q in questions:
-            prompt = (
-                f"<|im_start|>user\n{q}<|im_end|>\n<|im_start|>assistant\n"
-            )
-            toks = self.tokenizer(prompt, add_special_tokens=False)["input_ids"]
-            ids = (
-                [cfg.vision_start_token_id]
+            suffix_ids = self.tokenizer(
+                f"{q}<|im_end|>\n<|im_start|>assistant\n",
+                add_special_tokens=False,
+            )["input_ids"]
+            ids_list.append(
+                prefix_ids
+                + [cfg.vision_start_token_id]
                 + [cfg.image_token_id] * n_tok
-                + toks
+                + [cfg.vision_end_token_id]
+                + suffix_ids
             )
-            ids_list.append(ids)
         padded, mask = left_pad(ids_list, pad_id=cfg.pad_token_id, bucket=64)
 
         maps_out, texts = [], []
@@ -152,19 +173,9 @@ class Qwen2VLBackend:
         return np.stack(maps_out), texts
 
     def _preprocess(self, image: np.ndarray) -> np.ndarray:
-        import jax.numpy as jnp
+        from attwarp_tpu.extract.extraction import _resize_for_backend
 
-        arr = np.asarray(image)
-        if np.issubdtype(arr.dtype, np.integer):
-            arr = arr.astype(np.float32) / 255.0
-        elif arr.max() > 1.5:
-            arr = arr.astype(np.float32) / 255.0
-        S = self.image_size
-        out = jax.image.resize(jnp.asarray(arr, jnp.float32), (S, S, 3), "linear")
-        return np.asarray((out - CLIP_MEAN) / CLIP_STD, np.float32)
+        img = _resize_for_backend(image, self.image_size)
+        return np.asarray((img - CLIP_MEAN) / CLIP_STD, np.float32)
 
 
-def _scalar(eos) -> int:
-    if isinstance(eos, (list, tuple)):
-        eos = eos[0] if eos else 151645
-    return int(eos)

@@ -42,7 +42,7 @@ class LlavaConfig:
     vision_feature_layer: int = -2
     projector_act: str = "gelu"
     image_token_index: int = 32000
-    pad_token_id: int = 0
+    pad_token_id: int = 2
     eos_token_id: int = 2
 
     @property
@@ -186,7 +186,9 @@ def _generate_jit(
         # generate keeps forwarding finished rows; llava.py:384-411)
         carry = accumulate_step(carry, row, img_start, jnp.ones((B,)), n_img)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        nxt = jnp.where(finished, cfg.eos_token_id, nxt)
+        # finished sequences continue with PAD, matching HF generate (which
+        # falls back to eos when the checkpoint defines no pad token)
+        nxt = jnp.where(finished, cfg.pad_token_id, nxt)
         finished = jnp.logical_or(finished, nxt == cfg.eos_token_id)
         return (nxt, kv, finished, carry, full_mask), tok
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -86,7 +86,8 @@ class Qwen2VLConfig:
     text: Qwen2VLTextConfig = field(default_factory=Qwen2VLTextConfig)
     image_token_id: int = 151655
     vision_start_token_id: int = 151652
-    pad_token_id: int = 0
+    vision_end_token_id: int = 151653
+    pad_token_id: int = 151643
     eos_token_id: int = 151645
 
 
@@ -260,10 +261,6 @@ def _apply_rope(q, k, cos, sin):
 
 
 # ── text decoder ────────────────────────────────────────────────────────
-
-
-class QwenKVCache:
-    pass  # (uses the same (layers, B, max_seq, kvH, hd) tuple shape as llama)
 
 
 def _attn(q, k, v, mask, cfg: Qwen2VLTextConfig, want_probs: bool):
@@ -469,7 +466,9 @@ def _qwen_generate_jit(
         )
         carry = accumulate_step(carry, row, img_start, jnp.ones((B,)), n_img)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        nxt = jnp.where(finished, cfg.eos_token_id, nxt)
+        # finished sequences continue with the PAD token, matching HF
+        # generate (it forces pad_token_id for finished rows)
+        nxt = jnp.where(finished, cfg.pad_token_id, nxt)
         finished = jnp.logical_or(finished, nxt == cfg.eos_token_id)
         return (nxt, kv, finished, carry, full_mask), tok
 
@@ -477,10 +476,7 @@ def _qwen_generate_jit(
         body, (tok0, kv, finished0, carry0, full_mask),
         jnp.arange(max_new_tokens, dtype=jnp.int32),
     )
-    maps = finalize(carry, side_h) if side_h == side_w else (
-        carry.total / jnp.clip(carry.count[:, None], 1.0, None)
-    ).reshape(B, side_h, side_w)
-    return jnp.moveaxis(toks, 0, 1), maps
+    return jnp.moveaxis(toks, 0, 1), finalize(carry, side_h, side_w)
 
 
 # ── HF weight porting ───────────────────────────────────────────────────

@@ -74,6 +74,7 @@ def tiny_pair():
         ),
         image_token_id=IMG_TOKEN,
         vision_start_token_id=VSTART,
+        pad_token_id=2,  # HF tiny fixture falls back pad->eos
         eos_token_id=2,
     )
     params = port_hf_qwen2vl_weights(hf.state_dict(), cfg)
