@@ -68,6 +68,48 @@ class Qwen2VLBackend:
         return cls(Qwen2VLModel(cfg, params), tokenizer=processor.tokenizer,
                    extract_layer=extract_layer, image_size=image_size)
 
+    # ── native checkpointing (port once, reload without torch) ─────────
+    def save(self, path: str) -> None:
+        import dataclasses
+        import json
+        from pathlib import Path
+
+        import orbax.checkpoint as ocp
+
+        p = Path(path).absolute()
+        p.mkdir(parents=True, exist_ok=True)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(p / "params", jax.device_get(self.model.params), force=True)
+        with open(p / "config.json", "w") as f:
+            json.dump(dataclasses.asdict(self.model.cfg), f, indent=2)
+
+    @classmethod
+    def load(cls, path: str, extract_layer: int = 20, image_size: int = 448,
+             tokenizer=None) -> "Qwen2VLBackend":
+        import json
+        from pathlib import Path
+
+        import orbax.checkpoint as ocp
+
+        p = Path(path).absolute()
+        with open(p / "config.json") as f:
+            d = json.load(f)
+        cfg = Qwen2VLConfig(
+            vision=Qwen2VLVisionConfig(**d["vision"]),
+            text=Qwen2VLTextConfig(
+                **{**d["text"], "mrope_section": tuple(d["text"]["mrope_section"])}
+            ),
+            image_token_id=d["image_token_id"],
+            vision_start_token_id=d["vision_start_token_id"],
+            vision_end_token_id=d["vision_end_token_id"],
+            pad_token_id=d["pad_token_id"],
+            eos_token_id=d["eos_token_id"],
+        )
+        with ocp.StandardCheckpointer() as ckptr:
+            params = ckptr.restore(p / "params")
+        return cls(Qwen2VLModel(cfg, params), tokenizer=tokenizer,
+                   extract_layer=extract_layer, image_size=image_size)
+
     @staticmethod
     def config_from_hf(hf_cfg) -> Qwen2VLConfig:
         v, t = hf_cfg.vision_config, hf_cfg.text_config

@@ -113,3 +113,17 @@ def test_qwen_feature_extractor(backend, rng):
     assert np.isfinite(np.asarray(toks)).all()
     with pytest.raises(RuntimeError, match="tokenizer"):
         fx.text_tokens(["q"])
+
+
+def test_qwen_save_load_roundtrip(backend, rng, tmp_path):
+    import jax
+
+    backend.save(tmp_path / "ckpt")
+    restored = Qwen2VLBackend.load(
+        tmp_path / "ckpt", extract_layer=1, image_size=56
+    )
+    a = jax.tree_util.tree_leaves(backend.model.params)
+    b = jax.tree_util.tree_leaves(restored.model.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert restored.model.cfg == backend.model.cfg
