@@ -73,8 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=DEFAULT_WIDTH)
     p.add_argument("--height", type=int, default=DEFAULT_HEIGHT)
     p.add_argument("--limit", type=int, default=None, help="Process at most N samples")
-    p.add_argument("--backend", default="mini", choices=["mini"],
-                   help="MLLM backend (mini = self-contained test backend)")
+    p.add_argument(
+        "--backend", default="mini",
+        help="MLLM backend: 'mini' (self-contained test backend), "
+             "'llava:<hf-id-or-path>', 'llava-ckpt:<orbax-dir>', "
+             "'qwen2vl:<hf-id-or-path>', or 'qwen2vl-ckpt:<orbax-dir>'",
+    )
     return p
 
 
@@ -87,6 +91,24 @@ def make_backend(name: str, layer_index: int):
         cfg = MiniLLaVAConfig()
         cfg = MiniLLaVAConfig(extract_layer=min(layer_index, cfg.n_layers - 1))
         return MiniLLaVABackend(cfg)
+    if ":" in name:
+        family, _, path = name.partition(":")
+        if family == "llava":
+            from attwarp_tpu.extract.llava_backend import LlavaBackend
+
+            return LlavaBackend.from_hf(path, extract_layer=layer_index)
+        if family == "llava-ckpt":
+            from attwarp_tpu.extract.llava_backend import LlavaBackend
+
+            return LlavaBackend.load(path, extract_layer=layer_index)
+        if family == "qwen2vl":
+            from attwarp_tpu.extract.qwen2vl_backend import Qwen2VLBackend
+
+            return Qwen2VLBackend.from_hf(path, extract_layer=layer_index)
+        if family == "qwen2vl-ckpt":
+            from attwarp_tpu.extract.qwen2vl_backend import Qwen2VLBackend
+
+            return Qwen2VLBackend.load(path, extract_layer=layer_index)
     raise ValueError(f"unknown backend {name}")
 
 
