@@ -90,6 +90,11 @@ class LlavaBackend:
             ckptr.save(p / "params", jax.device_get(self.model.params), force=True)
         with open(p / "config.json", "w") as f:
             json.dump(dataclasses.asdict(self.model.cfg), f, indent=2)
+        if self.tokenizer is not None:
+            try:  # make the checkpoint dir self-contained for text-level use
+                self.tokenizer.save_pretrained(str(p))
+            except Exception as e:
+                print(f"[save] tokenizer not persisted: {e}")
 
     @classmethod
     def load(cls, path: str, extract_layer: int = 20, tokenizer=None) -> "LlavaBackend":
@@ -114,6 +119,13 @@ class LlavaBackend:
         )
         with ocp.StandardCheckpointer() as ckptr:
             params = ckptr.restore(p / "params")
+        if tokenizer is None:
+            try:  # best-effort: checkpoints saved with a tokenizer carry it
+                from transformers import AutoTokenizer
+
+                tokenizer = AutoTokenizer.from_pretrained(str(p))
+            except Exception:
+                tokenizer = None
         return cls(LlavaModel(cfg, params), tokenizer=tokenizer,
                    extract_layer=extract_layer)
 
