@@ -164,10 +164,19 @@ class Qwen2VLBackend:
         self,
         input_ids: np.ndarray,       # (B, T) with expanded image tokens
         attention_mask: np.ndarray,  # (B, T)
-        image: np.ndarray,           # (S, S, 3) CLIP-normalized float
+        image: np.ndarray,           # (S, S, 3) shared or (B, S, S, 3)
         max_new_tokens: int = 20,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        patches, grid = patchify_image(image, self.model.cfg.vision)
+        """One jitted batched generate. ``image`` may be a single image
+        shared across the batch, or one per sample (all the same (S, S)
+        grid, which the fixed-size preprocessing guarantees)."""
+        vcfg = self.model.cfg.vision
+        if image.ndim == 4:
+            per = [patchify_image(im, vcfg) for im in image]
+            grid = per[0][1]
+            patches = np.stack([p for p, _ in per])   # (B, N, C*T*P*P)
+        else:
+            patches, grid = patchify_image(image, vcfg)
         gen, maps = self.model.generate_with_attention(
             np.asarray(input_ids), patches, grid, np.asarray(attention_mask),
             extract_layer=self.extract_layer, max_new_tokens=max_new_tokens,
@@ -210,21 +219,21 @@ class Qwen2VLBackend:
             )
         padded, mask = left_pad(ids_list, pad_id=cfg.pad_token_id, bucket=64)
 
-        maps_out, texts = [], []
+        # One batched prefill+decode (vmapped vision tower) — the per-sample
+        # loop serialized B prefills even though all images share one grid.
+        imgs = np.stack([self._preprocess(images[b]) for b in range(len(images))])
+        gen, maps = self.extract_from_ids(
+            np.asarray(padded), np.asarray(mask), imgs, max_new_tokens
+        )
+        texts = []
         for b in range(len(images)):
-            img = self._preprocess(images[b])
-            gen, maps = self.extract_from_ids(
-                np.asarray([padded[b]]), np.asarray([mask[b]]), img,
-                max_new_tokens,
-            )
-            maps_out.append(maps[0])
             out = []
-            for tok in gen[0]:
+            for tok in gen[b]:
                 if int(tok) == cfg.eos_token_id:
                     break
                 out.append(int(tok))
             texts.append(self.tokenizer.decode(out, skip_special_tokens=True).strip())
-        return np.stack(maps_out), texts
+        return maps, texts
 
     def _preprocess(self, image: np.ndarray) -> np.ndarray:
         from attwarp_tpu.extract.extraction import _resize_for_backend

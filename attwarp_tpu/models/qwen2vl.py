@@ -354,8 +354,8 @@ def qwen2vl_decode_step(
 
 def embed_and_splice(params, cfg: Qwen2VLConfig, input_ids, image_features):
     """Replace image-token embeddings with vision features in order.
-    image_features: (N_img_tokens, D) for the single image, shared layout
-    across the batch (each sample sees the same image count)."""
+    image_features: (N_img_tokens, D) for one image shared across the batch,
+    or (B, N_img_tokens, D) for per-sample images (same token count)."""
     ids = jnp.asarray(input_ids)
     emb = params["text"]["embed_tokens"][jnp.clip(ids, 0, None)]
     is_img = ids == cfg.image_token_id
@@ -402,7 +402,10 @@ class Qwen2VLModel:
         extract_layer: int, max_new_tokens: int = 20,
     ):
         """Greedy decode with scan-carried attention accumulation; returns
-        (generated ids (B, K), attention maps (B, gh/M, gw/M))."""
+        (generated ids (B, K), attention maps (B, gh/M, gw/M)).
+
+        ``patches``: (N, D) for one image shared across the batch, or
+        (B, N, D) for per-sample images (same grid)."""
         ids = np.asarray(input_ids)
         mask_np = np.asarray(attention_mask)
         B, T = ids.shape
@@ -437,9 +440,17 @@ def _qwen_generate_jit(
     max_seq = T + max_new_tokens
     n_img = side_h * side_w
 
-    feats = qwen2vl_vision_features(
-        params["vision"], cfg.vision, patches, (grid_thw[1], grid_thw[2])
-    )
+    if patches.ndim == 3:
+        # per-sample images: (B, N, C*T*P*P) -> vmap the vision tower
+        feats = jax.vmap(
+            lambda p: qwen2vl_vision_features(
+                params["vision"], cfg.vision, p, (grid_thw[1], grid_thw[2])
+            )
+        )(patches)
+    else:
+        feats = qwen2vl_vision_features(
+            params["vision"], cfg.vision, patches, (grid_thw[1], grid_thw[2])
+        )
     embeds = embed_and_splice(params, cfg, input_ids, feats)
     cos, sin = mrope_cos_sin(positions, tcfg)
     logits, kv, row0 = qwen2vl_prefill(

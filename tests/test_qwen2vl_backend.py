@@ -62,6 +62,25 @@ def test_extract_from_ids(backend, rng):
     np.testing.assert_allclose(maps.reshape(2, -1).sum(-1), 1.0, atol=1e-5)
 
 
+def test_extract_from_ids_batched_images(backend, rng):
+    """Per-sample (B, S, S, 3) images in ONE batched call must match the
+    per-sample B=1 calls (the vmapped vision tower path)."""
+    n_tok = backend.num_patches_side ** 2
+    ids = rng.integers(3, 90, size=(2, 8 + n_tok)).astype(np.int64)
+    ids[:, 1] = VSTART
+    ids[:, 2 : 2 + n_tok] = IMG_TOKEN
+    mask = np.ones_like(ids)
+    imgs = rng.standard_normal((2, 56, 56, 3)).astype(np.float32)
+
+    gen_b, maps_b = backend.extract_from_ids(ids, mask, imgs, max_new_tokens=3)
+    for b in range(2):
+        gen_1, maps_1 = backend.extract_from_ids(
+            ids[b : b + 1], mask[b : b + 1], imgs[b], max_new_tokens=3
+        )
+        np.testing.assert_array_equal(gen_b[b], gen_1[0])
+        np.testing.assert_allclose(maps_b[b], maps_1[0], atol=1e-5)
+
+
 def test_backend_grid_assertion():
     import dataclasses
 
