@@ -18,7 +18,7 @@ The warped path decodes (near-)perfectly at input resolutions where the
 unwarped path is at chance — the "more pixels on the answer" effect the VQA
 gains come from.
 
-Run: PYTHONPATH=. python examples/mechanism_demo.py
+Run: PYTHONPATH=.:$PYTHONPATH python examples/mechanism_demo.py
 """
 
 from __future__ import annotations

@@ -1,8 +1,8 @@
 """Port a HuggingFace MLLM checkpoint to a native orbax directory.
 
-    PYTHONPATH=. python tools/port_checkpoint.py --family llava \
+    PYTHONPATH=.:$PYTHONPATH python tools/port_checkpoint.py --family llava \
         --hf-path llava-hf/llava-1.5-7b-hf --out ckpts/llava-jax [--bf16]
-    PYTHONPATH=. python tools/port_checkpoint.py --family qwen2vl \
+    PYTHONPATH=.:$PYTHONPATH python tools/port_checkpoint.py --family qwen2vl \
         --hf-path Qwen/Qwen2-VL-7B-Instruct --out ckpts/qwen2vl-jax [--bf16]
 
 The one-time port needs torch + transformers; afterwards the matching

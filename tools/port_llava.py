@@ -1,6 +1,6 @@
 """Port a HuggingFace LLaVA checkpoint to a native orbax directory.
 
-    PYTHONPATH=. python tools/port_llava.py \
+    PYTHONPATH=.:$PYTHONPATH python tools/port_llava.py \
         --hf-path llava-hf/llava-1.5-7b-hf \
         --out checkpoints/llava-1.5-7b-jax [--bf16]
 

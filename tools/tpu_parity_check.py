@@ -5,7 +5,7 @@ mesh; this script re-runs the core parity assertions against the cv2/NumPy
 oracle with the compute genuinely on the TPU chip — catching
 device-specific issues like default-precision matmuls.
 
-Usage:  PYTHONPATH=. python tools/tpu_parity_check.py
+Usage:  PYTHONPATH=.:$PYTHONPATH python tools/tpu_parity_check.py
 """
 
 import sys
