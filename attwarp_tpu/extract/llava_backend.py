@@ -161,6 +161,18 @@ class LlavaBackend:
             eos_token_id=_scalar_eos(getattr(hf_cfg.text_config, "eos_token_id", 2)),
         )
 
+    def quantize_int8(self) -> "LlavaBackend":
+        """Quantize the LLaMA-decoder linears to int8 (w8a8) in place —
+        halves/quarters decode-step HBM traffic vs bf16/f32 (decode is
+        weight-bandwidth-bound). Embeddings, lm_head, norms, projector, and
+        the CLIP tower keep their original dtype. See ``numerics/quant.py``."""
+        from attwarp_tpu.numerics.quant import quantize_decoder_params
+
+        self.model.params["llama"] = quantize_decoder_params(
+            self.model.params["llama"]
+        )
+        return self
+
     # ── properties ─────────────────────────────────────────────────────
     @property
     def image_size(self) -> int:

@@ -154,6 +154,18 @@ class Qwen2VLBackend:
             eos_token_id=_scalar_eos(getattr(t, "eos_token_id", None) or 151645),
         )
 
+    def quantize_int8(self) -> "Qwen2VLBackend":
+        """Quantize the text-decoder linears to int8 (w8a8) in place —
+        halves/quarters decode-step HBM traffic vs bf16/f32 (decode is
+        weight-bandwidth-bound). Embeddings, lm_head, norms, and the vision
+        tower keep their original dtype. See ``numerics/quant.py``."""
+        from attwarp_tpu.numerics.quant import quantize_decoder_params
+
+        self.model.params["text"] = quantize_decoder_params(
+            self.model.params["text"]
+        )
+        return self
+
     @property
     def num_patches_side(self) -> int:
         unit = self.model.cfg.vision.patch_size * self.model.cfg.vision.spatial_merge_size

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from attwarp_tpu.numerics.quant import apply_linear
+
 
 @dataclass(frozen=True)
 class LlamaConfig:
@@ -164,9 +166,9 @@ def _layer(lp: Dict[str, Any], cfg: LlamaConfig, x, cos, sin, mask, want_probs,
     """Full-sequence layer forward. Returns (y, k, v, probs_row)."""
     B, T, _ = x.shape
     h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-    q = (h @ lp["q_proj"].T).reshape(B, T, cfg.num_attention_heads, cfg.head_dim)
-    k = (h @ lp["k_proj"].T).reshape(B, T, cfg.kv_heads, cfg.head_dim)
-    v = (h @ lp["v_proj"].T).reshape(B, T, cfg.kv_heads, cfg.head_dim)
+    q = apply_linear(h, lp["q_proj"]).reshape(B, T, cfg.num_attention_heads, cfg.head_dim)
+    k = apply_linear(h, lp["k_proj"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
+    v = apply_linear(h, lp["v_proj"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
     q, k = apply_rope(q, k, cos, sin)
     if use_flash:
         attn = _flash_attn(q, k, v, attention_mask, cfg)
@@ -175,9 +177,12 @@ def _layer(lp: Dict[str, Any], cfg: LlamaConfig, x, cos, sin, mask, want_probs,
         )
     else:
         attn, row = _attn(q, k, v, mask, cfg, want_probs)
-    x = x + attn @ lp["o_proj"].T
+    x = x + apply_linear(attn, lp["o_proj"])
     h2 = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    mlp = (jax.nn.silu(h2 @ lp["gate_proj"].T) * (h2 @ lp["up_proj"].T)) @ lp["down_proj"].T
+    mlp = apply_linear(
+        jax.nn.silu(apply_linear(h2, lp["gate_proj"])) * apply_linear(h2, lp["up_proj"]),
+        lp["down_proj"],
+    )
     return x + mlp, k, v, row
 
 
@@ -244,9 +249,9 @@ def llama_decode_step(
     new_ks, new_vs, row = [], [], None
     for i, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-        q = (h @ lp["q_proj"].T).reshape(B, 1, cfg.num_attention_heads, cfg.head_dim)
-        k1 = (h @ lp["k_proj"].T).reshape(B, 1, cfg.kv_heads, cfg.head_dim)
-        v1 = (h @ lp["v_proj"].T).reshape(B, 1, cfg.kv_heads, cfg.head_dim)
+        q = apply_linear(h, lp["q_proj"]).reshape(B, 1, cfg.num_attention_heads, cfg.head_dim)
+        k1 = apply_linear(h, lp["k_proj"]).reshape(B, 1, cfg.kv_heads, cfg.head_dim)
+        v1 = apply_linear(h, lp["v_proj"]).reshape(B, 1, cfg.kv_heads, cfg.head_dim)
         q, k1 = apply_rope(q, k1, cos, sin)
         k = jax.lax.dynamic_update_slice_in_dim(kv.k[i], k1, cur_len, axis=1)
         v = jax.lax.dynamic_update_slice_in_dim(kv.v[i], v1, cur_len, axis=1)
@@ -255,9 +260,12 @@ def llama_decode_step(
         attn, r = _attn(q, k, v, kv_mask[:, None, :], cfg, want_probs=(i == extract_layer))
         if r is not None:
             row = r
-        x = x + attn @ lp["o_proj"].T
+        x = x + apply_linear(attn, lp["o_proj"])
         h2 = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-        mlp = (jax.nn.silu(h2 @ lp["gate_proj"].T) * (h2 @ lp["up_proj"].T)) @ lp["down_proj"].T
+        mlp = apply_linear(
+            jax.nn.silu(apply_linear(h2, lp["gate_proj"])) * apply_linear(h2, lp["up_proj"]),
+            lp["down_proj"],
+        )
         x = x + mlp
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed_tokens"])

@@ -36,6 +36,7 @@ import numpy as np
 
 from attwarp_tpu.extract.accumulator import accumulate_step, finalize, init_carry
 from attwarp_tpu.models.llama import _repeat_kv, rms_norm
+from attwarp_tpu.numerics.quant import apply_linear
 
 
 # ── configs ─────────────────────────────────────────────────────────────
@@ -280,16 +281,19 @@ def _attn(q, k, v, mask, cfg: Qwen2VLTextConfig, want_probs: bool):
 
 def _qkv(lp, cfg: Qwen2VLTextConfig, h):
     B, T, _ = h.shape
-    q = (h @ lp["q_proj"]["weight"].T + lp["q_proj"]["bias"]).reshape(
+    q = apply_linear(h, lp["q_proj"]).reshape(
         B, T, cfg.num_attention_heads, cfg.head_dim
     )
-    k = (h @ lp["k_proj"]["weight"].T + lp["k_proj"]["bias"]).reshape(
-        B, T, cfg.kv_heads, cfg.head_dim
-    )
-    v = (h @ lp["v_proj"]["weight"].T + lp["v_proj"]["bias"]).reshape(
-        B, T, cfg.kv_heads, cfg.head_dim
-    )
+    k = apply_linear(h, lp["k_proj"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
+    v = apply_linear(h, lp["v_proj"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
     return q, k, v
+
+
+def _mlp(lp, h2):
+    return apply_linear(
+        jax.nn.silu(apply_linear(h2, lp["gate_proj"])) * apply_linear(h2, lp["up_proj"]),
+        lp["down_proj"],
+    )
 
 
 def qwen2vl_prefill(
@@ -309,9 +313,9 @@ def qwen2vl_prefill(
         attn, r = _attn(q, k, v, mask, cfg, want_probs=(i == extract_layer))
         if r is not None:
             row = r
-        x = x + attn @ lp["o_proj"].T
+        x = x + apply_linear(attn, lp["o_proj"])
         h2 = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-        x = x + (jax.nn.silu(h2 @ lp["gate_proj"].T) * (h2 @ lp["up_proj"].T)) @ lp["down_proj"].T
+        x = x + _mlp(lp, h2)
         pad = max_seq - T
         ks.append(jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))))
         vs.append(jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))))
@@ -340,9 +344,9 @@ def qwen2vl_decode_step(
         attn, r = _attn(q, k, v, kv_mask[:, None, :], cfg, want_probs=(i == extract_layer))
         if r is not None:
             row = r
-        x = x + attn @ lp["o_proj"].T
+        x = x + apply_linear(attn, lp["o_proj"])
         h2 = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-        x = x + (jax.nn.silu(h2 @ lp["gate_proj"].T) * (h2 @ lp["up_proj"].T)) @ lp["down_proj"].T
+        x = x + _mlp(lp, h2)
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed_tokens"])
     logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)

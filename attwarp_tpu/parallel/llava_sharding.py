@@ -81,6 +81,27 @@ def llava_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
     return specs
 
 
+def _quant_aware(params: Any, spec: Any) -> Any:
+    """Expand P leaves into ``{"q", "s"[, "b"]}`` spec dicts wherever the
+    matching parameter is an int8-quantized linear (numerics/quant.py):
+    the int8 matrix keeps the dense weight's spec; the per-output-channel
+    scale (and bias) follow the output axis."""
+    from attwarp_tpu.numerics.quant import is_quantized
+
+    if is_quantized(params):
+        base = spec["weight"] if isinstance(spec, dict) else spec
+        out_ax = base[0] if len(base) >= 1 else None
+        q = {"q": base, "s": P(out_ax) if out_ax is not None else P()}
+        if "b" in params:
+            q["b"] = q["s"]
+        return q
+    if isinstance(spec, dict):
+        return {k: _quant_aware(params[k], v) for k, v in spec.items()}
+    if isinstance(spec, list):
+        return [_quant_aware(p, s) for p, s in zip(params, spec)]
+    return spec
+
+
 def _divisible(leaf, spec: P, mesh: Mesh) -> P:
     """Drop the 'model' factor on axes the mesh size does not divide."""
     n = mesh.shape["model"]
@@ -99,6 +120,8 @@ def shard_llava_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 
 def _place(params, specs, mesh: Mesh):
+    specs = _quant_aware(params, specs)
+
     def place(leaf, spec):
         spec = _divisible(leaf, spec, mesh)
         return jax.device_put(leaf, NamedSharding(mesh, spec))

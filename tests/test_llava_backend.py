@@ -54,6 +54,30 @@ def test_extract_from_ids(backend, rng):
     np.testing.assert_allclose(maps.reshape(2, -1).sum(-1), 1.0, atol=1e-5)
 
 
+def test_llava_int8_extract(backend, rng):
+    """int8-quantized LLaMA decoder runs extraction end to end, close to fp."""
+    from attwarp_tpu.models import LlavaModel
+    from attwarp_tpu.numerics.quant import quantize_decoder_params
+
+    params = dict(backend.model.params)
+    params["llama"] = quantize_decoder_params(params["llama"])
+    qbe = LlavaBackend(LlavaModel(backend.model.cfg, params), extract_layer=1)
+
+    B, n_img = 2, 4
+    ids = rng.integers(3, 90, size=(B, 12)).astype(np.int64)
+    ids[:, 2 : 2 + n_img] = IMG_TOKEN
+    mask = np.ones_like(ids)
+    pixels = rng.standard_normal((B, 28, 28, 3)).astype(np.float32)
+    gen_f, maps_f = backend.extract_from_ids(ids, mask, pixels, max_new_tokens=4)
+    gen_q, maps_q = qbe.extract_from_ids(ids, mask, pixels, max_new_tokens=4)
+    assert gen_q.shape == gen_f.shape and maps_q.shape == maps_f.shape
+    assert np.isfinite(maps_q).all() and (maps_q >= 0).all()
+    np.testing.assert_allclose(maps_q.reshape(2, -1).sum(-1), 1.0, atol=1e-4)
+    a, b = maps_f.ravel(), maps_q.ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.95, cos
+
+
 def test_config_from_hf_roundtrip(backend):
     cfg = backend.model.cfg
     assert cfg.vision.num_patches == 4

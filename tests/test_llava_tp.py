@@ -72,3 +72,40 @@ def test_tp_sharded_generate_matches(tiny, rng):
     # the q_proj weight really is sharded over the model axis
     sh = sharded["llama"]["layers"][0]["q_proj"].sharding
     assert "model" in (sh.spec[0],), sh.spec
+
+
+def test_tp_int8_generate_matches(tiny, rng):
+    """int8 (w8a8) decoder + tensor parallelism compose: the sharded
+    quantized generate is token-identical to the unsharded quantized one."""
+    from attwarp_tpu.numerics.quant import quantize_decoder_params
+
+    assert len(jax.devices()) >= 8
+    cfg, params = tiny
+    qparams = dict(params)
+    qparams["llama"] = quantize_decoder_params(params["llama"])
+    model = LlavaModel(cfg, qparams)
+
+    ids = rng.integers(3, 90, size=(2, 12)).astype(np.int64)
+    ids[:, 2:6] = IMG_TOKEN
+    pixels = rng.standard_normal((2, 28, 28, 3)).astype(np.float32)
+    args = (
+        jnp.asarray(ids),
+        jnp.asarray(pixels),
+        jnp.ones(ids.shape, bool),
+        jnp.asarray([2, 2], jnp.int32),
+    )
+    gen_ref, maps_ref = model.generate_with_attention(*args, extract_layer=1, max_new_tokens=4)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    sharded = shard_llava_params(qparams, mesh)
+    # int8 matrix keeps the column-parallel spec; its scale follows axis 0
+    qp = sharded["llama"]["layers"][0]["q_proj"]
+    assert qp["q"].dtype == jnp.int8 and qp["q"].sharding.spec[0] == "model"
+    assert qp["s"].sharding.spec[0] == "model"
+    dp = sharded["llama"]["layers"][0]["down_proj"]
+    assert dp["s"].sharding.spec == (), dp["s"].sharding.spec  # row-parallel scale replicated
+
+    model_tp = LlavaModel(cfg, sharded)
+    gen_tp, maps_tp = model_tp.generate_with_attention(*args, extract_layer=1, max_new_tokens=4)
+    np.testing.assert_array_equal(np.asarray(gen_tp), np.asarray(gen_ref))
+    np.testing.assert_allclose(np.asarray(maps_tp), np.asarray(maps_ref), atol=1e-5)

@@ -134,6 +134,33 @@ def test_qwen_feature_extractor(backend, rng):
         fx.text_tokens(["q"])
 
 
+def test_qwen_int8_extract(backend, rng):
+    """int8-quantized decoder runs the full extraction and stays close to fp."""
+    from attwarp_tpu.models.qwen2vl import Qwen2VLModel
+    from attwarp_tpu.numerics.quant import quantize_decoder_params
+
+    params = dict(backend.model.params)
+    params["text"] = quantize_decoder_params(params["text"])
+    qbe = Qwen2VLBackend(Qwen2VLModel(backend.model.cfg, params),
+                         extract_layer=1, image_size=56)
+
+    n_tok = 4
+    ids = rng.integers(3, 90, size=(2, 8 + n_tok)).astype(np.int64)
+    ids[:, 1] = VSTART
+    ids[:, 2 : 2 + n_tok] = IMG_TOKEN
+    mask = np.ones_like(ids)
+    img = rng.standard_normal((56, 56, 3)).astype(np.float32)
+
+    gen_f, maps_f = backend.extract_from_ids(ids, mask, img, max_new_tokens=3)
+    gen_q, maps_q = qbe.extract_from_ids(ids, mask, img, max_new_tokens=3)
+    assert gen_q.shape == gen_f.shape and maps_q.shape == maps_f.shape
+    assert np.isfinite(maps_q).all() and (maps_q >= 0).all()
+    np.testing.assert_allclose(maps_q.reshape(2, -1).sum(-1), 1.0, atol=1e-4)
+    a, b = maps_f.ravel(), maps_q.ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.95, cos
+
+
 def test_qwen_save_load_roundtrip(backend, rng, tmp_path):
     import jax
 
