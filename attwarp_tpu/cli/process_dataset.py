@@ -77,12 +77,22 @@ def build_parser() -> argparse.ArgumentParser:
         "--backend", default="mini",
         help="MLLM backend: 'mini' (self-contained test backend), "
              "'llava:<hf-id-or-path>', 'llava-ckpt:<orbax-dir>', "
-             "'qwen2vl:<hf-id-or-path>', or 'qwen2vl-ckpt:<orbax-dir>'",
+             "'qwen2vl:<hf-id-or-path>', or 'qwen2vl-ckpt:<orbax-dir>'; "
+             "append '+int8' to quantize the decoder for serving (w8a8)",
     )
     return p
 
 
 def make_backend(name: str, layer_index: int):
+    # "+int8" suffix on any real backend quantizes the decoder (w8a8):
+    #   llava-ckpt:/path+int8, qwen2vl:Qwen/Qwen2-VL-7B-Instruct+int8
+    int8 = name.endswith("+int8")
+    if int8:
+        base = name[: -len("+int8")]
+        be = make_backend(base, layer_index)
+        if not hasattr(be, "quantize_int8"):
+            raise ValueError(f"backend {base!r} has no int8 serving path")
+        return be.quantize_int8()
     if name == "mini":
         from attwarp_tpu.extract.extraction import MiniLLaVABackend
         from attwarp_tpu.extract.mini_llava import MiniLLaVAConfig

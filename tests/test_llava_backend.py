@@ -107,3 +107,15 @@ def test_backend_save_load_roundtrip(backend, rng, tmp_path):
     g2, m2 = restored.extract_from_ids(ids, np.ones_like(ids), pixels, 3)
     np.testing.assert_array_equal(g1, g2)
     np.testing.assert_allclose(m1, m2, atol=1e-6)
+
+    # CLI routing: "+int8" suffix loads the checkpoint and quantizes in place
+    import jax.numpy as jnp
+
+    from attwarp_tpu.cli.process_dataset import make_backend
+
+    q = make_backend(f"llava-ckpt:{tmp_path / 'ckpt'}+int8", layer_index=1)
+    assert q.model.params["llama"]["layers"][0]["q_proj"]["q"].dtype == jnp.int8
+    gq, mq = q.extract_from_ids(ids, np.ones_like(ids), pixels, 3)
+    assert gq.shape == g1.shape and np.isfinite(mq).all()
+    with pytest.raises(ValueError, match="int8"):
+        make_backend("mini+int8", layer_index=1)
