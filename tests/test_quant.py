@@ -135,6 +135,27 @@ def test_int8_params_are_smaller(tiny):
     assert quant < dense * 0.30, (quant, dense)  # ~4x smaller vs f32
 
 
+def test_int8_orbax_roundtrip(tiny, rng, tmp_path):
+    """Quantized trees checkpoint and restore exactly (int8 leaves incl.)."""
+    import orbax.checkpoint as ocp
+
+    cfg, params = tiny
+    qparams = quantize_decoder_params(params)
+    with ocp.StandardCheckpointer() as ck:
+        ck.save((tmp_path / "q").absolute(), qparams, force=True)
+        restored = ck.restore((tmp_path / "q").absolute())
+    for a, b in zip(jax.tree_util.tree_leaves(qparams),
+                    jax.tree_util.tree_leaves(restored)):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    embeds = jnp.asarray(rng.standard_normal((1, 5, 64)), jnp.float32)
+    mask = jnp.ones((1, 5), bool)
+    la, _, _ = llama_prefill(qparams, cfg, embeds, mask, max_seq=6)
+    lb, _, _ = llama_prefill(restored, cfg, embeds, mask, max_seq=6)
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_int8_under_jit_and_grad_free(tiny, rng):
     """The quantized tree must be jittable (int8 leaves are fine as pytree
     inputs) and produce identical results across calls."""
