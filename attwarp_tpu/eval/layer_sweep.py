@@ -30,6 +30,26 @@ GENERIC_PROMPT = (
 DEFAULT_LAYERS = [4, 8, 10, 12, 14, 16, 18, 20, 24]
 
 
+def _extract_all_layers(backend, images, questions,
+                        layers: Sequence[int]) -> Optional[Dict[int, np.ndarray]]:
+    """One-pass multi-layer extraction where the backend supports a tuple
+    ``extract_layer`` (LlavaBackend / Qwen2VLBackend): one generate yields
+    maps for every layer instead of one generate per layer. Returns None
+    for backends without the capability (the sweep falls back per layer)."""
+    if not hasattr(backend, "extract_layer"):
+        return None
+    old = backend.extract_layer
+    try:
+        backend.extract_layer = tuple(layers)
+        maps, _ = backend.extract(images, questions, max_new_tokens=1)
+    except TypeError:
+        return None
+    finally:
+        backend.extract_layer = old
+    maps = np.asarray(maps)  # (L, B, n, n)
+    return {L: maps[j] for j, L in enumerate(layers)}
+
+
 def _extract_at_layer(backend, images, questions, layer: int) -> np.ndarray:
     """Extraction with a per-call layer override. Raises for backends whose
     layer cannot be overridden — a sweep that silently reuses one layer
@@ -87,9 +107,17 @@ def layer_sweep(
         img = np.asarray(s["image"])
         H, W = img.shape[:2]
         box = interpret_bbox(s["bbox"], bbox_method)
+        all_q = _extract_all_layers(backend, img[None], [s["question"]], layers)
+        all_g = (
+            _extract_all_layers(backend, img[None], [GENERIC_PROMPT], layers)
+            if all_q is not None else None
+        )
         for L in layers:
-            att_q = _extract_at_layer(backend, img[None], [s["question"]], L)[0]
-            att_g = _extract_at_layer(backend, img[None], [GENERIC_PROMPT], L)[0]
+            if all_q is not None:
+                att_q, att_g = all_q[L][0], all_g[L][0]
+            else:
+                att_q = _extract_at_layer(backend, img[None], [s["question"]], L)[0]
+                att_g = _extract_at_layer(backend, img[None], [GENERIC_PROMPT], L)[0]
             for typ, grid in (
                 ("absolute", att_q),
                 ("relative", relative_attention_map(att_q, att_g)),

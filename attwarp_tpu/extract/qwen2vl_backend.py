@@ -41,11 +41,13 @@ class Qwen2VLBackend:
         unit = model.cfg.vision.patch_size * model.cfg.vision.spatial_merge_size
         assert image_size % unit == 0, (image_size, unit)
         n_layers = model.cfg.text.num_hidden_layers
-        if not 0 <= extract_layer < n_layers:
-            raise ValueError(
-                f"extract_layer {extract_layer} out of range for "
-                f"{n_layers}-layer model"
-            )
+        for l in ([extract_layer] if isinstance(extract_layer, int)
+                  else extract_layer):
+            if not 0 <= l < n_layers:
+                raise ValueError(
+                    f"extract_layer {l} out of range for "
+                    f"{n_layers}-layer model"
+                )
         self.image_size = image_size
         self.name = "qwen2vl-jax"
 

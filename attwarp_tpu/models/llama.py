@@ -161,6 +161,35 @@ def _last_row_probs(q_last, k, mask_last, cfg: LlamaConfig):
     return jax.nn.softmax(logits, axis=-1)
 
 
+def extract_layers_tuple(extract_layer) -> Tuple[int, ...]:
+    """Normalize an extract-layer spec (None | int | sequence of ints) to a
+    tuple. Multi-layer extraction returns one attention row per listed layer
+    in ONE forward pass — the reference's multilayer training data
+    (config.py:15-17 ``*_qwen_multilayer`` roots) needs maps from several
+    layers per sample, which would otherwise cost one generate per layer."""
+    if extract_layer is None:
+        return ()
+    if isinstance(extract_layer, int):
+        return (extract_layer,)
+    return tuple(extract_layer)
+
+
+def _stack_rows(rows: Dict[int, jnp.ndarray], extract_layer):
+    """Match the row container to the spec: None -> None, int -> (B, H, T),
+    tuple -> (L, B, H, T) in spec order."""
+    if extract_layer is None:
+        return None
+    want = extract_layers_tuple(extract_layer)
+    missing = [l for l in want if l not in rows]
+    if missing:
+        raise ValueError(
+            f"extract_layer {missing} out of range (no such decoder layer)"
+        )
+    if isinstance(extract_layer, int):
+        return rows[extract_layer]
+    return jnp.stack([rows[l] for l in extract_layer])
+
+
 def _layer(lp: Dict[str, Any], cfg: LlamaConfig, x, cos, sin, mask, want_probs,
            use_flash=False, attention_mask=None):
     """Full-sequence layer forward. Returns (y, k, v, probs_row)."""
@@ -215,21 +244,22 @@ def llama_prefill(
     mask = jnp.logical_and(causal, attention_mask[:, None, :])
 
     x = inputs_embeds
-    ks, vs, row = [], [], None
+    want = extract_layers_tuple(extract_layer)
+    ks, vs, rows = [], [], {}
     for i, lp in enumerate(params["layers"]):
         x, k, v, r = _layer(
-            lp, cfg, x, cos, sin, mask, want_probs=(i == extract_layer),
+            lp, cfg, x, cos, sin, mask, want_probs=(i in want),
             use_flash=use_flash, attention_mask=attention_mask,
         )
         if r is not None:
-            row = r
+            rows[i] = r
         pad = max_seq - T
         ks.append(jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))))
         vs.append(jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))))
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed_tokens"])
     logits = x[:, -1].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
-    return logits, LlamaKVCache(jnp.stack(ks), jnp.stack(vs)), row
+    return logits, LlamaKVCache(jnp.stack(ks), jnp.stack(vs)), _stack_rows(rows, extract_layer)
 
 
 def llama_decode_step(
@@ -246,7 +276,8 @@ def llama_decode_step(
     B = token_embeds.shape[0]
     cos, sin = rope_cos_sin(positions[:, None], cfg.head_dim, cfg.rope_theta)
     x = token_embeds
-    new_ks, new_vs, row = [], [], None
+    want = extract_layers_tuple(extract_layer)
+    new_ks, new_vs, rows = [], [], {}
     for i, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
         q = apply_linear(h, lp["q_proj"]).reshape(B, 1, cfg.num_attention_heads, cfg.head_dim)
@@ -257,9 +288,9 @@ def llama_decode_step(
         v = jax.lax.dynamic_update_slice_in_dim(kv.v[i], v1, cur_len, axis=1)
         new_ks.append(k)
         new_vs.append(v)
-        attn, r = _attn(q, k, v, kv_mask[:, None, :], cfg, want_probs=(i == extract_layer))
+        attn, r = _attn(q, k, v, kv_mask[:, None, :], cfg, want_probs=(i in want))
         if r is not None:
-            row = r
+            rows[i] = r
         x = x + apply_linear(attn, lp["o_proj"])
         h2 = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         mlp = apply_linear(
@@ -270,4 +301,4 @@ def llama_decode_step(
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed_tokens"])
     logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
-    return logits, LlamaKVCache(jnp.stack(new_ks), jnp.stack(new_vs)), row
+    return logits, LlamaKVCache(jnp.stack(new_ks), jnp.stack(new_vs)), _stack_rows(rows, extract_layer)

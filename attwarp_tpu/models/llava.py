@@ -124,13 +124,18 @@ class LlavaModel:
         pixel_values: jnp.ndarray,    # (B, S, S, 3)
         attention_mask: jnp.ndarray,  # (B, T) bool
         img_start: jnp.ndarray,       # (B,) image-token span starts
-        extract_layer: int = 20,
+        extract_layer=20,
         max_new_tokens: int = 20,
         use_flash: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Greedy decode; returns (generated ids (B, K), attention (B, n, n)).
 
+        ``extract_layer`` may be an int or a sequence of ints; a sequence
+        extracts every listed layer in the SAME pass and the attention comes
+        back as (L, B, n, n) in the given order (one generate instead of L).
         ``use_flash`` enables the Pallas flash-attention prefill (TPU only)."""
+        if not isinstance(extract_layer, int):
+            extract_layer = tuple(extract_layer)
         return _generate_jit(
             self.params, self.cfg, input_ids, pixel_values, attention_mask,
             img_start, extract_layer, max_new_tokens, use_flash,
@@ -157,15 +162,30 @@ def _generate_jit(
     max_seq = T + max_new_tokens
     n_img = cfg.num_image_tokens
     side = int(np.sqrt(n_img))
+    multi = not isinstance(extract_layer, int)
+
+    def acc(carry, row):
+        if multi:  # row (L, B, H, T): one accumulator per extracted layer
+            return jax.vmap(
+                lambda c, r: accumulate_step(c, r, img_start, jnp.ones((B,)), n_img)
+            )(carry, row)
+        return accumulate_step(carry, row, img_start, jnp.ones((B,)), n_img)
+
+    def carry_init():
+        c = init_carry(B, n_img)
+        if multi:
+            L = len(extract_layer)
+            c = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (L, *x.shape)), c
+            )
+        return c
 
     embeds = embed_and_splice(params, cfg, input_ids, pixel_values)
     logits, kv, row0 = llama_prefill(
         params["llama"], tcfg, embeds, attention_mask,
         max_seq=max_seq, extract_layer=extract_layer, use_flash=use_flash,
     )
-    carry0 = accumulate_step(
-        init_carry(B, n_img), row0, img_start, jnp.ones((B,)), n_img
-    )
+    carry0 = acc(carry_init(), row0)
     tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     finished0 = tok0 == cfg.eos_token_id
     lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)  # (B,)
@@ -184,7 +204,7 @@ def _generate_jit(
         # reference parity: BatchMaskHookLogger accumulates EVERY generation
         # step, including rows produced after a sample emitted EOS (HF
         # generate keeps forwarding finished rows; llava.py:384-411)
-        carry = accumulate_step(carry, row, img_start, jnp.ones((B,)), n_img)
+        carry = acc(carry, row)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         # finished sequences continue with PAD, matching HF generate (which
         # falls back to eos when the checkpoint defines no pad token)
@@ -197,7 +217,9 @@ def _generate_jit(
         (tok0, kv, finished0, carry0, full_mask),
         jnp.arange(max_new_tokens, dtype=jnp.int32),
     )
-    return jnp.moveaxis(toks, 0, 1), finalize(carry, side)
+    maps = (jax.vmap(lambda c: finalize(c, side))(carry) if multi
+            else finalize(carry, side))
+    return jnp.moveaxis(toks, 0, 1), maps
 
 
 # ── HF weight porting ──────────────────────────────────────────────────

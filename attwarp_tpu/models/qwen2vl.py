@@ -35,7 +35,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from attwarp_tpu.extract.accumulator import accumulate_step, finalize, init_carry
-from attwarp_tpu.models.llama import _repeat_kv, rms_norm
+from attwarp_tpu.models.llama import (
+    _repeat_kv,
+    _stack_rows,
+    extract_layers_tuple,
+    rms_norm,
+)
 from attwarp_tpu.numerics.quant import apply_linear
 
 
@@ -305,14 +310,15 @@ def qwen2vl_prefill(
     causal = jnp.tril(jnp.ones((T, T), bool))[None]
     mask = jnp.logical_and(causal, attention_mask[:, None, :])
     x = inputs_embeds
-    ks, vs, row = [], [], None
+    want = extract_layers_tuple(extract_layer)
+    ks, vs, rows = [], [], {}
     for i, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
         q, k, v = _qkv(lp, cfg, h)
         q, k = _apply_rope(q, k, cos, sin)
-        attn, r = _attn(q, k, v, mask, cfg, want_probs=(i == extract_layer))
+        attn, r = _attn(q, k, v, mask, cfg, want_probs=(i in want))
         if r is not None:
-            row = r
+            rows[i] = r
         x = x + apply_linear(attn, lp["o_proj"])
         h2 = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         x = x + _mlp(lp, h2)
@@ -322,7 +328,7 @@ def qwen2vl_prefill(
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed_tokens"])
     logits = x[:, -1].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
-    return logits, (jnp.stack(ks), jnp.stack(vs)), row
+    return logits, (jnp.stack(ks), jnp.stack(vs)), _stack_rows(rows, extract_layer)
 
 
 def qwen2vl_decode_step(
@@ -332,7 +338,8 @@ def qwen2vl_decode_step(
     B = token_embeds.shape[0]
     x = token_embeds
     kcache, vcache = kv
-    new_ks, new_vs, row = [], [], None
+    want = extract_layers_tuple(extract_layer)
+    new_ks, new_vs, rows = [], [], {}
     for i, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
         q, k1, v1 = _qkv(lp, cfg, h)
@@ -341,16 +348,16 @@ def qwen2vl_decode_step(
         v = jax.lax.dynamic_update_slice_in_dim(vcache[i], v1, cur_len, axis=1)
         new_ks.append(k)
         new_vs.append(v)
-        attn, r = _attn(q, k, v, kv_mask[:, None, :], cfg, want_probs=(i == extract_layer))
+        attn, r = _attn(q, k, v, kv_mask[:, None, :], cfg, want_probs=(i in want))
         if r is not None:
-            row = r
+            rows[i] = r
         x = x + apply_linear(attn, lp["o_proj"])
         h2 = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         x = x + _mlp(lp, h2)
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed_tokens"])
     logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
-    return logits, (jnp.stack(new_ks), jnp.stack(new_vs)), row
+    return logits, (jnp.stack(new_ks), jnp.stack(new_vs)), _stack_rows(rows, extract_layer)
 
 
 # ── combined model ──────────────────────────────────────────────────────
@@ -409,7 +416,11 @@ class Qwen2VLModel:
         (generated ids (B, K), attention maps (B, gh/M, gw/M)).
 
         ``patches``: (N, D) for one image shared across the batch, or
-        (B, N, D) for per-sample images (same grid)."""
+        (B, N, D) for per-sample images (same grid). ``extract_layer`` may
+        be an int or a sequence of ints; a sequence extracts every listed
+        layer in the same pass -> maps (L, B, gh/M, gw/M)."""
+        if not isinstance(extract_layer, int):
+            extract_layer = tuple(extract_layer)
         ids = np.asarray(input_ids)
         mask_np = np.asarray(attention_mask)
         B, T = ids.shape
@@ -443,6 +454,23 @@ def _qwen_generate_jit(
     B, T = input_ids.shape
     max_seq = T + max_new_tokens
     n_img = side_h * side_w
+    multi = not isinstance(extract_layer, int)
+
+    def acc(carry, row):
+        if multi:  # row (L, B, H, T): one accumulator per extracted layer
+            return jax.vmap(
+                lambda c, r: accumulate_step(c, r, img_start, jnp.ones((B,)), n_img)
+            )(carry, row)
+        return accumulate_step(carry, row, img_start, jnp.ones((B,)), n_img)
+
+    def carry_init():
+        c = init_carry(B, n_img)
+        if multi:
+            L = len(extract_layer)
+            c = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (L, *x.shape)), c
+            )
+        return c
 
     if patches.ndim == 3:
         # per-sample images: (B, N, C*T*P*P) -> vmap the vision tower
@@ -461,7 +489,7 @@ def _qwen_generate_jit(
         params["text"], tcfg, embeds, attention_mask, cos, sin,
         max_seq=max_seq, extract_layer=extract_layer,
     )
-    carry0 = accumulate_step(init_carry(B, n_img), row0, img_start, jnp.ones((B,)), n_img)
+    carry0 = acc(carry_init(), row0)
     tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     finished0 = tok0 == cfg.eos_token_id
     full_mask = jnp.pad(attention_mask, ((0, 0), (0, max_new_tokens)))
@@ -479,7 +507,7 @@ def _qwen_generate_jit(
             params["text"], tcfg, emb, kv, cur_len, cos1, sin1, full_mask,
             extract_layer=extract_layer,
         )
-        carry = accumulate_step(carry, row, img_start, jnp.ones((B,)), n_img)
+        carry = acc(carry, row)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         # finished sequences continue with the PAD token, matching HF
         # generate (it forces pad_token_id for finished rows)
@@ -491,7 +519,9 @@ def _qwen_generate_jit(
         body, (tok0, kv, finished0, carry0, full_mask),
         jnp.arange(max_new_tokens, dtype=jnp.int32),
     )
-    return jnp.moveaxis(toks, 0, 1), finalize(carry, side_h, side_w)
+    maps = (jax.vmap(lambda c: finalize(c, side_h, side_w))(carry) if multi
+            else finalize(carry, side_h, side_w))
+    return jnp.moveaxis(toks, 0, 1), maps
 
 
 # ── HF weight porting ───────────────────────────────────────────────────

@@ -54,6 +54,65 @@ def test_extract_from_ids(backend, rng):
     np.testing.assert_allclose(maps.reshape(2, -1).sum(-1), 1.0, atol=1e-5)
 
 
+def test_multilayer_extract_matches_single(backend, rng):
+    """A tuple extract_layer yields per-layer maps (L, B, n, n) in ONE pass,
+    identical to running the single-layer extraction once per layer (the
+    reference's multilayer training data needs exactly this)."""
+    B, n_img = 2, 4
+    ids = rng.integers(3, 90, size=(B, 12)).astype(np.int64)
+    ids[:, 2 : 2 + n_img] = IMG_TOKEN
+    mask = np.ones_like(ids)
+    pixels = rng.standard_normal((B, 28, 28, 3)).astype(np.float32)
+
+    old = backend.extract_layer
+    try:
+        backend.extract_layer = (0, 2, 1)  # order must be respected
+        gen_m, maps_m = backend.extract_from_ids(ids, mask, pixels, 3)
+    finally:
+        backend.extract_layer = old
+    assert maps_m.shape == (3, B, 2, 2)
+
+    for j, layer in enumerate((0, 2, 1)):
+        try:
+            backend.extract_layer = layer
+            gen_1, maps_1 = backend.extract_from_ids(ids, mask, pixels, 3)
+        finally:
+            backend.extract_layer = old
+        np.testing.assert_array_equal(gen_m, gen_1)  # decode unaffected
+        np.testing.assert_allclose(maps_m[j], maps_1, atol=1e-6)
+
+
+class _WordTok:
+    """Hash-words-to-ids stub tokenizer for text-level tests."""
+
+    def __call__(self, text, add_special_tokens=False):
+        return {"input_ids": [3 + (hash(w) % 90) for w in text.split()]}
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(f"t{int(i)}" for i in ids)
+
+
+def test_layer_sweep_fast_path_matches_fallback(backend, rng):
+    """The sweep's one-pass multi-layer extraction returns the same per-layer
+    maps as the per-layer fallback."""
+    from attwarp_tpu.eval.layer_sweep import _extract_all_layers, _extract_at_layer
+
+    old_tok = backend.tokenizer
+    backend.tokenizer = _WordTok()
+    try:
+        imgs = rng.random((1, 28, 28, 3)).astype(np.float32)
+        qs = ["what is shown"]
+        layers = [0, 2]
+        fast = _extract_all_layers(backend, imgs, qs, layers)
+        assert fast is not None and set(fast) == {0, 2}
+        for L in layers:
+            slow = _extract_at_layer(backend, imgs, qs, L)
+            np.testing.assert_allclose(fast[L], slow, atol=1e-6)
+        assert backend.extract_layer == 1  # restored
+    finally:
+        backend.tokenizer = old_tok
+
+
 def test_llava_int8_extract(backend, rng):
     """int8-quantized LLaMA decoder runs extraction end to end, close to fp."""
     from attwarp_tpu.models import LlavaModel

@@ -134,6 +134,32 @@ def test_qwen_feature_extractor(backend, rng):
         fx.text_tokens(["q"])
 
 
+def test_qwen_multilayer_extract_matches_single(backend, rng):
+    n_tok = 4
+    ids = rng.integers(3, 90, size=(2, 8 + n_tok)).astype(np.int64)
+    ids[:, 1] = VSTART
+    ids[:, 2 : 2 + n_tok] = IMG_TOKEN
+    mask = np.ones_like(ids)
+    img = rng.standard_normal((56, 56, 3)).astype(np.float32)
+
+    old = backend.extract_layer
+    try:
+        backend.extract_layer = (1, 0)
+        gen_m, maps_m = backend.extract_from_ids(ids, mask, img, max_new_tokens=3)
+    finally:
+        backend.extract_layer = old
+    assert maps_m.shape == (2, 2, 2, 2)  # (L, B, h, w)
+
+    for j, layer in enumerate((1, 0)):
+        try:
+            backend.extract_layer = layer
+            gen_1, maps_1 = backend.extract_from_ids(ids, mask, img, max_new_tokens=3)
+        finally:
+            backend.extract_layer = old
+        np.testing.assert_array_equal(gen_m, gen_1)
+        np.testing.assert_allclose(maps_m[j], maps_1, atol=1e-6)
+
+
 def test_qwen_int8_extract(backend, rng):
     """int8-quantized decoder runs the full extraction and stays close to fp."""
     from attwarp_tpu.models.qwen2vl import Qwen2VLModel
