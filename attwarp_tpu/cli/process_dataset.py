@@ -66,7 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", required=True)
     p.add_argument("--batch-size", type=int, default=32,
                    help="1 = sequential driver semantics; >1 = batched")
-    p.add_argument("--layer-index", type=int, default=20)
+    p.add_argument(
+        "--layer-index", type=str, default="20",
+        help="decoder layer for attention extraction; a comma list "
+             "('4,8,20') extracts every listed layer in ONE pass and writes "
+             "per-layer raw maps (the *_multilayer training-data shape); "
+             "the FIRST layer drives the mask/warp artifacts",
+    )
     p.add_argument("--max-new-tokens", type=int, default=20)
     p.add_argument("--enhance-coe", type=float, default=10.0)
     p.add_argument("--kernel-size", type=int, default=3)
@@ -83,7 +89,18 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def make_backend(name: str, layer_index: int):
+def parse_layer_spec(spec) -> "int | tuple":
+    """'20' -> 20; '4,8,20' -> (4, 8, 20); ints pass through."""
+    if isinstance(spec, int):
+        return spec
+    layers = tuple(int(x) for x in str(spec).split(",") if x.strip())
+    if not layers:
+        raise ValueError(f"empty --layer-index spec {spec!r}")
+    return layers[0] if len(layers) == 1 else layers
+
+
+def make_backend(name: str, layer_index):
+    layer_index = parse_layer_spec(layer_index)
     # "+int8" suffix on any real backend quantizes the decoder (w8a8):
     #   llava-ckpt:/path+int8, qwen2vl:Qwen/Qwen2-VL-7B-Instruct+int8
     int8 = name.endswith("+int8")
@@ -97,6 +114,11 @@ def make_backend(name: str, layer_index: int):
         from attwarp_tpu.extract.extraction import MiniLLaVABackend
         from attwarp_tpu.extract.mini_llava import MiniLLaVAConfig
 
+        if not isinstance(layer_index, int):
+            raise ValueError(
+                "the mini backend extracts one layer; use a LLaVA/Qwen2-VL "
+                "backend for multi-layer --layer-index"
+            )
         # layer_index maps onto the mini model's extract layer (clamped)
         cfg = MiniLLaVAConfig()
         cfg = MiniLLaVAConfig(extract_layer=min(layer_index, cfg.n_layers - 1))
@@ -122,24 +144,40 @@ def make_backend(name: str, layer_index: int):
     raise ValueError(f"unknown backend {name}")
 
 
+def _sample_major(maps: np.ndarray) -> np.ndarray:
+    """Normalize extract output to sample-major: (B, h, w) stays; multi-layer
+    (L, B, h, w) -> (B, L, h, w) so ``maps[k]`` is always one sample."""
+    maps = np.asarray(maps)
+    return maps.transpose(1, 0, 2, 3) if maps.ndim == 4 else maps
+
+
 def _extract_with_fallback(backend, images: np.ndarray, questions: List[str],
                            max_new_tokens: int):
-    """Batch extract; on failure retry per-sample; uniform map last resort."""
+    """Batch extract; on failure retry per-sample; uniform map last resort.
+    Returns sample-major maps: (B, h, w) or (B, L, h, w) for multi-layer."""
     try:
-        return backend.extract(images, questions, max_new_tokens=max_new_tokens)
+        maps, texts = backend.extract(images, questions,
+                                      max_new_tokens=max_new_tokens)
+        return _sample_major(maps), texts
     except Exception as e:
         print(f"Batch extraction failed ({e}); retrying per-sample.")
     maps, texts = [], []
-    n_side = int(np.sqrt(576))
+    n_side = getattr(backend, "num_patches_side", int(np.sqrt(576)))
+    layers = getattr(backend, "extract_layer", None)
+    if layers is not None and not isinstance(layers, int):
+        uniform = np.full((len(layers), n_side, n_side),
+                          1.0 / n_side**2, np.float32)
+    else:
+        uniform = np.full((n_side, n_side), 1.0 / n_side**2, np.float32)
     for i in range(images.shape[0]):
         try:
             m, t = backend.extract(images[i : i + 1], [questions[i]],
                                    max_new_tokens=max_new_tokens)
-            maps.append(m[0])
+            maps.append(_sample_major(m)[0])
             texts.append(t[0])
         except Exception as e2:
             print(f"Per-sample extraction failed ({e2}); uniform map fallback.")
-            maps.append(np.full((n_side, n_side), 1.0 / 576, np.float32))
+            maps.append(uniform)
             texts.append("")
     return np.stack(maps), texts
 
@@ -261,6 +299,11 @@ def process_dataset(
             image_id = meta.get("image_id", f"sample{i}")
             sid = f"{image_id}_{meta['original_index']}"
             att = np.asarray(maps[k], np.float32)
+            layer_maps = None
+            if att.ndim == 3:  # multi-layer (L, h, w): FIRST layer is primary
+                layer_ids = tuple(getattr(backend, "extract_layer", range(len(att))))
+                layer_maps = dict(zip(layer_ids, att))
+                att = att[0]
             failed = False
             saved = {
                 "original_image": None,
@@ -279,6 +322,16 @@ def process_dataset(
                 raw_path = os.path.join(dirs["raw_attention_maps"], f"{sid}_raw_attn.npy")
                 np.save(raw_path, att[None, None])  # (1,1,24,24)
                 saved["raw_attention_map_npy"] = raw_path
+
+                if layer_maps is not None:  # one file per extracted layer
+                    saved["raw_attention_maps_per_layer"] = {}
+                    for lid, lmap in layer_maps.items():
+                        lp = os.path.join(
+                            dirs["raw_attention_maps"],
+                            f"{sid}_raw_attn_layer{lid}.npy",
+                        )
+                        np.save(lp, lmap[None, None])
+                        saved["raw_attention_maps_per_layer"][str(lid)] = lp
 
                 attn_img_path = os.path.join(
                     dirs["attention_maps_images"], f"{sid}_attn_map_img.png"
@@ -323,6 +376,8 @@ def process_dataset(
                 meta_out = dict(meta)
                 meta_out["sample_id"] = sid
                 meta_out["api_model_name"] = getattr(backend, "name", "mini-llava")
+                if layer_maps is not None:
+                    meta_out["extract_layers"] = [int(l) for l in layer_maps]
                 meta_out["saved_paths"] = saved
                 meta_path = os.path.join(dirs["metadata"], f"{sid}_metadata.json")
                 try:

@@ -70,3 +70,70 @@ def test_driver_output_feeds_legacy_dataset(rng, tmp_path):
     batch = collate([ds[i] for i in range(4)])
     assert batch["image"].shape == (4, 32, 32, 3)
     assert batch["sqrt_mask"].shape == (4,)
+
+
+class _StubMultiLayerBackend:
+    """Duck-typed backend returning (L, B, h, w) maps like a tuple
+    extract_layer on the real MLLM backends."""
+
+    image_size = 32
+    num_patches_side = 4
+    extract_layer = (0, 5)
+    name = "stub-multi"
+
+    def extract(self, images, questions, max_new_tokens=20):
+        B = len(images)
+        maps = np.zeros((2, B, 4, 4), np.float32)
+        maps[0, :, 0, 0] = 1.0           # layer 0: corner peak
+        maps[1] = 1.0 / 16               # layer 5: uniform
+        return maps, ["ans"] * B
+
+
+def test_driver_multilayer_artifacts(rng, tmp_path):
+    """A tuple extract_layer writes one raw map per layer, keeps the first
+    layer as the primary artifact, and records extract_layers in metadata."""
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    data = {"data": []}
+    for i in range(2):
+        Image.fromarray((rng.random((40, 40, 3)) * 255).astype(np.uint8)).save(
+            img_dir / f"im{i}.jpg"
+        )
+        data["data"].append(
+            {"image_id": f"im{i}", "question": f"what {i}?", "answers": ["x"] * 10}
+        )
+    tv_json = tmp_path / "tv.json"
+    tv_json.write_text(json.dumps(data))
+
+    out = tmp_path / "proc_ml"
+    stats = process_dataset(
+        str(tv_json), str(img_dir), str(out), _StubMultiLayerBackend(),
+        batch_size=2, max_new_tokens=2, width=48, height=48,
+    )
+    assert stats == {"processed": 2, "failed": 0}
+
+    raw = sorted(p.name for p in (out / "raw_attention_maps").iterdir())
+    assert any("layer0" in n for n in raw) and any("layer5" in n for n in raw)
+    meta = json.loads(
+        sorted((out / "metadata").iterdir())[0].read_text()
+    )
+    assert meta["extract_layers"] == [0, 5]
+    paths = meta["saved_paths"]["raw_attention_maps_per_layer"]
+    assert set(paths) == {"0", "5"}
+    primary = np.load(meta["saved_paths"]["raw_attention_map_npy"])
+    assert primary.shape == (1, 1, 4, 4)
+    np.testing.assert_array_equal(primary, np.load(paths["0"]))  # first layer
+    assert not np.array_equal(primary, np.load(paths["5"]))
+
+
+def test_parse_layer_spec():
+    import pytest
+
+    from attwarp_tpu.cli.process_dataset import parse_layer_spec
+
+    assert parse_layer_spec("20") == 20
+    assert parse_layer_spec(7) == 7
+    assert parse_layer_spec("4,8,20") == (4, 8, 20)
+    assert parse_layer_spec("4,") == 4
+    with pytest.raises(ValueError):
+        parse_layer_spec("")
