@@ -128,6 +128,9 @@ def llava_api(
         maps, _texts = extract_attention(
             backend, batch, chunk_qs, max_new_tokens=max_new_tokens
         )
+        maps = np.asarray(maps)
+        if maps.ndim == 4:  # multi-layer backend: first listed layer is primary
+            maps = maps[0]
         for im, m in zip(chunk_imgs, maps):
             im8 = _to_uint8_rgb(im)
             overlay, mota = blend_mask(

@@ -101,6 +101,9 @@ class AttWarpPipeline:
         maps, first_answers = self.backend.extract(
             batch_in, list(questions), max_new_tokens=self.max_new_tokens
         )
+        maps = np.asarray(maps)
+        if maps.ndim == 4:  # multi-layer backend: first listed layer is primary
+            maps = maps[0]
 
         # mask + warp at native resolution; dtype-aware [0,255] scaling
         # (max()-based heuristics misclassify dark images), batched per

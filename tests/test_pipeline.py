@@ -35,6 +35,30 @@ def test_two_pass_pipeline(rng):
     assert np.isfinite(res.warped).all()
 
 
+class _StubMultiLayerBackend:
+    image_size = 32
+    num_patches_side = 4
+    extract_layer = (0, 1)
+    name = "stub-multi"
+
+    def extract(self, images, questions, max_new_tokens=20):
+        B = len(images)
+        maps = np.zeros((2, B, 4, 4), np.float32)
+        maps[0, :, 1, 1] = 1.0
+        maps[1] = 1.0 / 16
+        return maps, ["a"] * B
+
+
+def test_pipeline_multilayer_backend_uses_primary_layer(rng):
+    """A multi-layer backend feeds the pipeline its FIRST listed layer."""
+    pipe = AttWarpPipeline(_StubMultiLayerBackend(), warp_size=32,
+                           second_pass=False, max_new_tokens=1, size_bucket=0)
+    res = pipe.run([(rng.random((32, 32, 3)) * 255).astype(np.uint8)], ["q?"])
+    assert res.attention_maps.shape == (1, 4, 4)
+    assert res.attention_maps[0, 1, 1] == 1.0  # layer 0, not the uniform one
+    assert res.warped.shape == (1, 32, 32, 3)
+
+
 def test_pipeline_no_second_pass(rng):
     pipe = AttWarpPipeline(_backend(), warp_size=48, second_pass=False,
                            max_new_tokens=2)
