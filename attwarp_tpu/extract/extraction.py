@@ -44,6 +44,10 @@ class MiniLLaVABackend:
     def image_size(self) -> int:
         return self.cfg.image_size
 
+    @property
+    def num_patches_side(self) -> int:
+        return self.cfg.num_patches  # mini's num_patches is per side (n×n grid)
+
     def extract(
         self,
         images: np.ndarray,      # (B, H, W, 3) float in [0,1] or uint8
