@@ -61,7 +61,13 @@ class LlavaBackend:
         hf = LlavaForConditionalGeneration.from_pretrained(
             model_path, torch_dtype=torch.float32, low_cpu_mem_usage=True
         )
-        processor = AutoProcessor.from_pretrained(model_path)
+        try:
+            processor = AutoProcessor.from_pretrained(model_path)
+            tokenizer, image_processor = processor.tokenizer, processor.image_processor
+        except Exception as e:  # weights-only checkpoint: ids-level API still works
+            print(f"[from_hf] no processor at {model_path} ({e}); "
+                  "text-level extract disabled until a tokenizer is attached")
+            tokenizer = image_processor = None
         cfg = cls.config_from_hf(hf.config)
         params = port_hf_llava_weights(
             hf.state_dict(), cfg, dtype=dtype if dtype is not None else jnp.float32
@@ -69,8 +75,8 @@ class LlavaBackend:
         del hf
         return cls(
             LlavaModel(cfg, params),
-            tokenizer=processor.tokenizer,
-            image_processor=processor.image_processor,
+            tokenizer=tokenizer,
+            image_processor=image_processor,
             extract_layer=extract_layer,
         )
 

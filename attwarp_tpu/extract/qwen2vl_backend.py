@@ -61,13 +61,18 @@ class Qwen2VLBackend:
         hf = Qwen2VLForConditionalGeneration.from_pretrained(
             model_path, torch_dtype=torch.float32, low_cpu_mem_usage=True
         )
-        processor = AutoProcessor.from_pretrained(model_path)
+        try:
+            tokenizer = AutoProcessor.from_pretrained(model_path).tokenizer
+        except Exception as e:  # weights-only checkpoint: ids-level API still works
+            print(f"[from_hf] no processor at {model_path} ({e}); "
+                  "text-level extract disabled until a tokenizer is attached")
+            tokenizer = None
         cfg = cls.config_from_hf(hf.config)
         params = port_hf_qwen2vl_weights(
             hf.state_dict(), cfg, dtype=dtype if dtype is not None else jnp.float32
         )
         del hf
-        return cls(Qwen2VLModel(cfg, params), tokenizer=processor.tokenizer,
+        return cls(Qwen2VLModel(cfg, params), tokenizer=tokenizer,
                    extract_layer=extract_layer, image_size=image_size)
 
     # ── native checkpointing (port once, reload without torch) ─────────

@@ -22,6 +22,10 @@ def main(argv=None) -> int:
     p.add_argument("--bf16", action="store_true",
                    help="store parameters in bfloat16 (halves size; 7B fits "
                         "one v5e chip)")
+    p.add_argument("--int8", action="store_true",
+                   help="quantize the text decoder to int8 (w8a8) before "
+                        "saving — the checkpoint loads ready to serve "
+                        "(combine with --bf16 for the non-decoder parts)")
     p.add_argument("--extract-layer", type=int, default=20)
     args = p.parse_args(argv)
 
@@ -36,9 +40,12 @@ def main(argv=None) -> int:
     backend = Backend.from_hf(
         args.hf_path, extract_layer=args.extract_layer, dtype=dtype
     )
+    if args.int8:
+        backend.quantize_int8()
     backend.save(args.out)
     print(
-        f"Ported {args.family} to {args.out} (dtype={dtype.__name__}). "
+        f"Ported {args.family} to {args.out} (dtype={dtype.__name__}"
+        f"{', decoder int8' if args.int8 else ''}). "
         f"Restore with {Backend.__name__}.load({args.out!r}); pass the HF "
         "tokenizer for the text-level extract API."
     )
