@@ -1,0 +1,95 @@
+"""Decode-step throughput at LLaVA-7B shape: bf16 vs int8 (w8a8).
+
+Source of the numbers in ARCHITECTURE.md "int8 serving": on one v5e,
+B=1: bf16 20.9 ms/step (47.8 tok/s) vs int8 12.8 ms/step (78.0 tok/s);
+int8 B=8 reaches 207.5 tok/s while bf16 OOMs past B=2.
+
+Run:  PYTHONPATH=.:$PYTHONPATH python tools/bench_decode.py bf16|int8 [batch]
+Chained decode steps inside one jit (argmax -> embed feeds the next step)
+so the relay can't return early and XLA can't hoist anything.
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attwarp_tpu.models.llama import LlamaConfig, LlamaKVCache, llama_decode_step
+
+MODE = sys.argv[1] if len(sys.argv) > 1 else "bf16"
+cfg = LlamaConfig()  # 7B: 4096 / 11008 / 32 layers / 32 heads, vocab 32000
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+T_CTX, STEPS = 640, 32
+MAX_SEQ = T_CTX + STEPS
+key = jax.random.PRNGKey(0)
+
+
+def kshape():
+    global key
+    key, k = jax.random.split(key)
+    return k
+
+
+def lin(o, i):
+    if MODE == "int8":
+        q = jax.random.randint(kshape(), (o, i), -127, 128, dtype=jnp.int8)
+        s = jax.random.uniform(kshape(), (o,), jnp.float32, 0.5, 1.5) / (127 * np.sqrt(i))
+        return {"q": q, "s": s}
+    return jax.random.normal(kshape(), (o, i), jnp.bfloat16) / float(np.sqrt(i))
+
+
+D, I = cfg.hidden_size, cfg.intermediate_size
+layers = []
+for _ in range(cfg.num_hidden_layers):
+    layers.append({
+        "q_proj": lin(D, D), "k_proj": lin(D, D), "v_proj": lin(D, D),
+        "o_proj": lin(D, D), "gate_proj": lin(I, D), "up_proj": lin(I, D),
+        "down_proj": lin(D, I),
+        "input_layernorm": jnp.ones((D,), jnp.bfloat16),
+        "post_attention_layernorm": jnp.ones((D,), jnp.bfloat16),
+    })
+params = {
+    "embed_tokens": jax.random.normal(kshape(), (cfg.vocab_size, D), jnp.bfloat16) * 0.02,
+    "lm_head": jax.random.normal(kshape(), (cfg.vocab_size, D), jnp.bfloat16) * 0.02,
+    "norm": jnp.ones((D,), jnp.bfloat16),
+    "layers": layers,
+}
+nbytes = sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params))
+print(f"params: {nbytes/2**30:.2f} GiB ({MODE})")
+
+kv = LlamaKVCache(
+    jnp.zeros((cfg.num_hidden_layers, B, MAX_SEQ, cfg.kv_heads, cfg.head_dim), jnp.bfloat16),
+    jnp.zeros((cfg.num_hidden_layers, B, MAX_SEQ, cfg.kv_heads, cfg.head_dim), jnp.bfloat16),
+)
+kv_mask = (jnp.arange(MAX_SEQ)[None, :] < T_CTX + 1).repeat(B, 0)
+positions = jnp.full((B,), T_CTX, jnp.int32)
+emb0 = jax.random.normal(kshape(), (B, 1, D), jnp.bfloat16)
+
+
+@jax.jit
+def run(params, emb0, kv):
+    def body(carry, _):
+        emb, kv = carry
+        logits, kv, _ = llama_decode_step(
+            params, cfg, emb, kv, jnp.int32(T_CTX), positions, kv_mask
+        )
+        nxt = jnp.argmax(logits, axis=-1)
+        emb = params["embed_tokens"][nxt][:, None, :]
+        return (emb, kv), logits[0, 0]
+
+    (emb, _), probe = jax.lax.scan(body, (emb0, kv), jnp.arange(STEPS))
+    return emb[0, 0, 0] + probe.sum()
+
+
+out = run(params, emb0, kv)
+print("compiled; first result:", jax.device_get(out))
+times = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    jax.device_get(run(params, emb0, kv))
+    times.append(time.perf_counter() - t0)
+best = min(times)
+per_step = best / STEPS * 1e3
+print(f"{MODE}: {best*1e3:.1f} ms for {STEPS} steps -> {per_step:.2f} ms/step "
+      f"({B / (best / STEPS):.1f} tok/s at B={B})")
