@@ -18,6 +18,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", required=True)
     p.add_argument("--model", type=str, default="mini",
                    help="MLLM backend ('mini' = test backend)")
+    p.add_argument("--layer-index", type=str, default="20",
+                   help="extraction layer for the answering backend")
     p.add_argument("--max-new-tokens", type=int, default=64)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--score-original", action="store_true",
@@ -35,7 +37,8 @@ def main(argv=None) -> int:
     )
 
     backend = ExtractionAnswerBackend(
-        make_backend(args.model, layer_index=20), max_new_tokens=args.max_new_tokens
+        make_backend(args.model, layer_index=args.layer_index),
+        max_new_tokens=args.max_new_tokens,
     )
     res = evaluate_textvqa_accuracy(
         args.metadata_dir,

@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="question for the second pass")
     p.add_argument("--backend", type=str, default="mini",
                    help="MLLM backend for the second pass")
+    p.add_argument("--layer-index", type=str, default="20",
+                   help="extraction layer for the second-pass backend")
     p.add_argument("--max-new-tokens", type=int, default=20)
     return p
 
@@ -98,7 +100,7 @@ def main(argv=None) -> int:
         from attwarp_tpu.eval.harness import ExtractionAnswerBackend
 
         backend = ExtractionAnswerBackend(
-            make_backend(args.backend, layer_index=20),
+            make_backend(args.backend, layer_index=args.layer_index),
             max_new_tokens=args.max_new_tokens,
         )
         warped_path = os.path.join(run_dir, os.path.basename(args.output))
