@@ -15,6 +15,7 @@ import os
 import signal
 import sys
 import tempfile
+import threading
 from typing import Iterable, List, Set
 
 
@@ -26,6 +27,11 @@ class ProgressManifest:
         self.processed_count: int = 0
         self.failed_count: int = 0
         self._handlers_installed = False
+        # mark()/save() are called from both the driver's producer loop and
+        # its writer thread (cli/process_dataset.py); serialize them so the
+        # counters don't race and a concurrent save can't persist a manifest
+        # missing an in-flight index (re-processing it on resume).
+        self._lock = threading.RLock()
         self.load()
 
     # ── persistence ────────────────────────────────────────────────────
@@ -47,41 +53,46 @@ class ProgressManifest:
             return False
 
     def save(self) -> None:
-        d = {
-            "last_processed_internal_idx": self.last_processed_internal_idx,
-            "processed_internal_indices": sorted(self.processed_internal_indices),
-            "processed_count": self.processed_count,
-            "failed_count": self.failed_count,
-        }
-        dirname = os.path.dirname(self.path) or "."
-        os.makedirs(dirname, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=dirname, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(d, f)
-            os.replace(tmp, self.path)  # atomic
-        except Exception:
+        with self._lock:
+            d = {
+                "last_processed_internal_idx": self.last_processed_internal_idx,
+                "processed_internal_indices": sorted(self.processed_internal_indices),
+                "processed_count": self.processed_count,
+                "failed_count": self.failed_count,
+            }
+            dirname = os.path.dirname(self.path) or "."
+            os.makedirs(dirname, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=dirname, suffix=".tmp")
             try:
-                os.unlink(tmp)
-            except OSError:
-                pass
-            raise
+                with os.fdopen(fd, "w") as f:
+                    json.dump(d, f)
+                os.replace(tmp, self.path)  # atomic
+            except Exception:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
 
     # ── bookkeeping ────────────────────────────────────────────────────
     def mark(self, idx: int, failed: bool = False, save: bool = True) -> None:
-        if failed:
-            self.failed_count += 1
-        else:
-            self.processed_count += 1
-        self.processed_internal_indices.add(idx)
-        self.last_processed_internal_idx = max(self.last_processed_internal_idx, idx)
-        if save:
-            self.save()
+        with self._lock:
+            if failed:
+                self.failed_count += 1
+            else:
+                self.processed_count += 1
+            self.processed_internal_indices.add(idx)
+            self.last_processed_internal_idx = max(
+                self.last_processed_internal_idx, idx
+            )
+            if save:
+                self.save()
 
     def mark_many(self, idxs: Iterable[int], failed: bool = False) -> None:
-        for i in idxs:
-            self.mark(i, failed=failed, save=False)
-        self.save()
+        with self._lock:
+            for i in idxs:
+                self.mark(i, failed=failed, save=False)
+            self.save()
 
     def remaining(self, total: int) -> List[int]:
         return [i for i in range(total) if i not in self.processed_internal_indices]

@@ -29,6 +29,11 @@ GENERIC_PROMPT = (
 
 DEFAULT_LAYERS = [4, 8, 10, 12, 14, 16, 18, 20, 24]
 
+# Reference cadence (Ablations/uncertainty_attn_maps_llava.py:42): ONE
+# forward pass, the single last-token attention row — no decode steps. Our
+# backends express that as max_new_tokens=0 (prefill row only).
+_SWEEP_NEW_TOKENS = 0
+
 
 def _extract_all_layers(backend, images, questions,
                         layers: Sequence[int]) -> Optional[Dict[int, np.ndarray]]:
@@ -41,8 +46,14 @@ def _extract_all_layers(backend, images, questions,
     old = backend.extract_layer
     try:
         backend.extract_layer = tuple(layers)
-        maps, _ = backend.extract(images, questions, max_new_tokens=1)
-    except TypeError:
+        maps, _ = backend.extract(
+            images, questions, max_new_tokens=_SWEEP_NEW_TOKENS
+        )
+    except Exception as e:
+        # any failure (tuple unsupported, layer out of range, …) routes to
+        # the per-layer fallback path rather than aborting the whole sweep
+        print(f"[layer_sweep] one-pass multi-layer extraction unavailable "
+              f"({type(e).__name__}: {e}); falling back per layer")
         return None
     finally:
         backend.extract_layer = old
@@ -60,7 +71,9 @@ def _extract_at_layer(backend, images, questions, layer: int) -> np.ndarray:
         old = backend.extract_layer
         try:
             backend.extract_layer = layer
-            maps, _ = backend.extract(images, questions, max_new_tokens=1)
+            maps, _ = backend.extract(
+                images, questions, max_new_tokens=_SWEEP_NEW_TOKENS
+            )
         finally:
             backend.extract_layer = old
     elif hasattr(backend, "cfg") and hasattr(backend.cfg, "extract_layer"):
@@ -73,7 +86,9 @@ def _extract_at_layer(backend, images, questions, layer: int) -> np.ndarray:
             )
         try:
             backend.cfg = dataclasses.replace(old_cfg, extract_layer=layer)
-            maps, _ = backend.extract(images, questions, max_new_tokens=1)
+            maps, _ = backend.extract(
+                images, questions, max_new_tokens=_SWEEP_NEW_TOKENS
+            )
         finally:
             backend.cfg = old_cfg
     else:

@@ -36,6 +36,15 @@ def _scalar_eos(eos) -> int:
     return int(eos) if eos is not None else 2
 
 
+def _first_defined(*vals):
+    """First non-None value. 0 is a legitimate token id, so this must not be
+    a truthiness or-chain."""
+    for v in vals:
+        if v is not None:
+            return v
+    return None
+
+
 class LlavaBackend:
     def __init__(self, model: LlavaModel, tokenizer=None, image_processor=None,
                  extract_layer: int = 20, use_flash: bool = False):
@@ -161,8 +170,10 @@ class LlavaBackend:
             vision_feature_layer=getattr(hf_cfg, "vision_feature_layer", -2),
             image_token_index=hf_cfg.image_token_index,
             pad_token_id=_scalar_eos(
-                getattr(hf_cfg, "pad_token_id", None)
-                or getattr(hf_cfg.text_config, "eos_token_id", 2)
+                _first_defined(
+                    getattr(hf_cfg, "pad_token_id", None),
+                    getattr(hf_cfg.text_config, "eos_token_id", 2),
+                )
             ),
             eos_token_id=_scalar_eos(getattr(hf_cfg.text_config, "eos_token_id", 2)),
         )

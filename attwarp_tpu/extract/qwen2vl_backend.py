@@ -27,7 +27,7 @@ from attwarp_tpu.models.qwen2vl import (
 )
 
 # Qwen2-VL processors normalize with the OPENAI CLIP statistics.
-from attwarp_tpu.extract.llava_backend import _scalar_eos
+from attwarp_tpu.extract.llava_backend import _first_defined, _scalar_eos
 from attwarp_tpu.models.clip_vit import CLIP_MEAN, CLIP_STD
 
 
@@ -154,11 +154,15 @@ class Qwen2VLBackend:
             vision_start_token_id=hf_cfg.vision_start_token_id,
             vision_end_token_id=getattr(hf_cfg, "vision_end_token_id", 151653),
             pad_token_id=_scalar_eos(
-                getattr(hf_cfg, "pad_token_id", None)
-                or getattr(t, "eos_token_id", None)
-                or 151643
+                _first_defined(
+                    getattr(hf_cfg, "pad_token_id", None),
+                    getattr(t, "eos_token_id", None),
+                    151643,
+                )
             ),
-            eos_token_id=_scalar_eos(getattr(t, "eos_token_id", None) or 151645),
+            eos_token_id=_scalar_eos(
+                _first_defined(getattr(t, "eos_token_id", None), 151645)
+            ),
         )
 
     def quantize_int8(self) -> "Qwen2VLBackend":

@@ -78,6 +78,28 @@ def test_layer_sweep_with_mini_backend(rng, tmp_path):
     assert (tmp_path / "sweep" / "summary.txt").exists()
 
 
+def test_layer_sweep_uses_prefill_only_cadence(rng):
+    """The sweep's maps must match the reference ablation cadence
+    (uncertainty_attn_maps_llava.py:42 — ONE forward, single last-token
+    attention row): identical to extract(max_new_tokens=0), and distinct
+    from a prefill+decode average."""
+    from attwarp_tpu.eval.layer_sweep import _extract_at_layer
+    from attwarp_tpu.extract.extraction import MiniLLaVABackend
+    from attwarp_tpu.extract.mini_llava import MiniLLaVAConfig
+
+    cfg = MiniLLaVAConfig(
+        vocab=256, d_model=32, n_heads=2, n_layers=2, extract_layer=1,
+        num_patches=4, image_size=32, max_seq=96,
+    )
+    be = MiniLLaVABackend(cfg, seed=0)
+    img = rng.random((1, 32, 32, 3)).astype(np.float32)
+    got = _extract_at_layer(be, img, ["what is here?"], 1)
+    want, _ = be.extract(img, ["what is here?"], max_new_tokens=0)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-6)
+    with_decode, _ = be.extract(img, ["what is here?"], max_new_tokens=2)
+    assert np.abs(got - np.asarray(with_decode)).max() > 1e-6
+
+
 def test_stage_timer(tmp_path):
     t = StageTimer(tmp_path / "stages.jsonl")
     with t.stage("a"):
