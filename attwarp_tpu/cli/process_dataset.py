@@ -84,14 +84,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="MLLM backend: 'mini' (self-contained test backend), "
              "'llava:<hf-id-or-path>', 'llava-ckpt:<orbax-dir>', "
              "'qwen2vl:<hf-id-or-path>', or 'qwen2vl-ckpt:<orbax-dir>'; "
-             "append '+int8' to quantize the decoder for serving (w8a8)",
+             "append '+int8' to quantize the decoder for serving (w8a8) "
+             "and/or '+flash' for the Pallas flash-attention prefill (TPU)",
     )
     return p
 
 
 def parse_layer_spec(spec) -> "int | tuple":
-    """'20' -> 20; '4,8,20' -> (4, 8, 20); ints pass through."""
-    if isinstance(spec, int):
+    """'20' -> 20; '4,8,20' -> (4, 8, 20); ints and tuples pass through."""
+    if isinstance(spec, (int, tuple)):
         return spec
     layers = tuple(int(x) for x in str(spec).split(",") if x.strip())
     if not layers:
@@ -101,15 +102,23 @@ def parse_layer_spec(spec) -> "int | tuple":
 
 def make_backend(name: str, layer_index):
     layer_index = parse_layer_spec(layer_index)
-    # "+int8" suffix on any real backend quantizes the decoder (w8a8):
-    #   llava-ckpt:/path+int8, qwen2vl:Qwen/Qwen2-VL-7B-Instruct+int8
-    int8 = name.endswith("+int8")
-    if int8:
-        base = name[: -len("+int8")]
+    # "+int8"/"+flash" suffixes on any real backend, composable in any order
+    # (llava-ckpt:/path+int8+flash): int8 quantizes the decoder for serving
+    # (w8a8); flash routes the prefill through the Pallas flash-attention
+    # kernel (TPU; the extraction prefill is SURVEY §3.1 HOT LOOP 1)
+    base, sep, suffix = name.rpartition("+")
+    if sep and suffix in ("int8", "flash"):
         be = make_backend(base, layer_index)
-        if not hasattr(be, "quantize_int8"):
-            raise ValueError(f"backend {base!r} has no int8 serving path")
-        return be.quantize_int8()
+        if suffix == "int8":
+            if not hasattr(be, "quantize_int8"):
+                raise ValueError(f"backend {base!r} has no int8 serving path")
+            return be.quantize_int8()
+        if not hasattr(be, "use_flash"):
+            raise ValueError(
+                f"backend {base!r} has no flash-attention prefill path"
+            )
+        be.use_flash = True
+        return be
     if name == "mini":
         from attwarp_tpu.extract.extraction import MiniLLaVABackend
         from attwarp_tpu.extract.mini_llava import MiniLLaVAConfig

@@ -122,13 +122,30 @@ def _attn(q, k, v, mask, cfg: LlamaConfig, want_probs: bool):
     return out, (probs[:, :, -1, :] if want_probs else None)
 
 
+def _flash_kv_block(T: int, cap: int = 512) -> int:
+    """Largest power-of-two divisor of the (static) sequence length, capped.
+    The flash kernel requires block_k | kv_seq_len; prompt lengths are
+    64-token-bucketed (extract/offsets.py), so this is ≥64 in practice."""
+    b = 1
+    while T % (b * 2) == 0 and (b * 2) <= cap:
+        b *= 2
+    return b
+
+
+def flash_prefill_supported(T: int) -> bool:
+    """Flash engages for sequences long enough to tile efficiently; shorter
+    prompts silently use the dense path (same numerics contract)."""
+    return T >= 256 and _flash_kv_block(T) >= 64
+
+
 def _flash_attn(q, k, v, attention_mask, cfg: LlamaConfig):
     """Prefill attention through the Pallas flash-attention kernel
     (jax.experimental.pallas.ops.tpu.flash_attention): O(T) memory, no
     materialized (T, T) probability matrix. Left padding is encoded as
-    segment ids (padding = segment 0, valid = segment 1) so valid queries
+    segment ids (padding = segment 1, valid = segment 2) so valid queries
     never attend padding. TPU-only fast path."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
         SegmentIds,
         flash_attention,
     )
@@ -138,6 +155,13 @@ def _flash_attn(q, k, v, attention_mask, cfg: LlamaConfig):
     k = _repeat_kv(k, n_rep)
     v = _repeat_kv(v, n_rep)
     seg = jnp.where(attention_mask, 2, 1).astype(jnp.int32)  # padding=1, valid=2
+    bk = _flash_kv_block(T)
+    blocks = BlockSizes(
+        block_q=min(512, T),
+        block_k_major=bk,
+        block_k=bk,
+        block_b=1,
+    )
     out = flash_attention(
         q.transpose(0, 2, 1, 3),  # (B, H, T, hd)
         k.transpose(0, 2, 1, 3),
@@ -145,6 +169,7 @@ def _flash_attn(q, k, v, attention_mask, cfg: LlamaConfig):
         segment_ids=SegmentIds(q=seg, kv=seg),
         causal=True,
         sm_scale=1.0 / np.sqrt(cfg.head_dim),
+        block_sizes=blocks,
     )
     return out.transpose(0, 2, 1, 3).reshape(B, T, cfg.hidden_size)
 
@@ -199,7 +224,7 @@ def _layer(lp: Dict[str, Any], cfg: LlamaConfig, x, cos, sin, mask, want_probs,
     k = apply_linear(h, lp["k_proj"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
     v = apply_linear(h, lp["v_proj"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
     q, k = apply_rope(q, k, cos, sin)
-    if use_flash:
+    if use_flash and flash_prefill_supported(T):
         attn = _flash_attn(q, k, v, attention_mask, cfg)
         row = (
             _last_row_probs(q[:, -1], k, mask[:, -1, :], cfg) if want_probs else None
@@ -230,11 +255,14 @@ def llama_prefill(
     ``use_flash`` routes attention through the Pallas flash kernel (TPU
     only); the extract layer's last-row probabilities are computed by a
     separate O(T) pass, so no (T, T) matrix is ever materialized. Measured
-    on v5e: at LLaVA's prompt length (~640 tokens) the dense path is
-    slightly faster (12.8 vs 14.3 ms at B=8, d=1024, 8 layers) — flash pays
-    off for longer contexts (O(T) memory, better tiling beyond ~2k). The
-    flash kernel computes in bf16 (logits within ~0.7% relative; the
-    extract row within 5e-5), so the default stays the dense f32 path."""
+    on v5e at 7B shape (tools/bench_prefill.py): at LLaVA's 640-token
+    extraction prompt the dense path is MXU-bound at ~75% of bf16 peak and
+    slightly ahead (54.9 vs 61.1 ms at B=1); flash overtakes between 1k–2k
+    tokens (350 vs 575 ms at B=2 T=2048) and keeps running at T=4096 where
+    dense OOMs on the (T, T) tensor. The flash kernel computes in bf16
+    (logits within ~0.7% relative; the extract row within 5e-5), so the
+    default stays the dense f32 path; prompts under 256 tokens always use
+    dense (``flash_prefill_supported``)."""
     B, T, _ = inputs_embeds.shape
     # HF left-padding convention: position ids count valid tokens
     positions = jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) - 1
