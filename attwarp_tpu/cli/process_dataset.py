@@ -119,6 +119,13 @@ def make_backend(name: str, layer_index):
             )
         be.use_flash = True
         return be
+    if name == "reader":
+        # resolution-limited reader proxy (testing/reader.py): used with the
+        # synthetic code-tag dataset to measure the warped-vs-original
+        # accuracy gain end-to-end without real MLLM weights
+        from attwarp_tpu.testing.reader import ReaderBackend
+
+        return ReaderBackend()
     if name == "mini":
         from attwarp_tpu.extract.extraction import MiniLLaVABackend
         from attwarp_tpu.extract.mini_llava import MiniLLaVAConfig

@@ -1,0 +1,231 @@
+"""Resolution-limited "reader" proxy MLLM + synthetic code-tag VQA scenes.
+
+Closes the accuracy-gain evidence chain (BASELINE target 3) as far as a
+zero-egress environment allows: the paper's claim is that warping more
+pixels onto the attended region before the MLLM's input downsample improves
+VQA accuracy (reference harness ``evaluate_accuracy.py:275-473``). Real
+LLaVA weights cannot be fetched here, so this module provides an honest
+mechanical stand-in with the SAME failure mode as a real MLLM:
+
+- ``ReaderBackend`` perceives every image only through a fixed low-res
+  input (``image_size``, default 128 — the CLIP-336 bottleneck, scaled to
+  the synthetic scene), exposes the standard extraction duck-type
+  (``image_size``, ``num_patches_side``, ``extract(images, questions) ->
+  (maps, texts)``), derives its attention from the image itself (local
+  contrast — the code tag is the only high-frequency content), and answers
+  by actually *reading* the tag out of its low-res view.
+- ``make_scene`` renders a smooth scene with an 8×8-bit code tag (64 bits =
+  16 hex chars) somewhere in it; the ground-truth answer is the hex string.
+
+At the reader's native input resolution the tag is too small to resolve
+(≈2 px/cell after the downsample), so unwarped accuracy is ≈0; after the
+driver's attention-guided warp magnifies the tag, the SAME reader decodes
+it. The resulting accuracy gain is produced end-to-end by the real driver +
+eval harness pair (``cli/process_dataset.py`` → ``cli/evaluate.py
+--score-original``), not by this module.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+BITS = 8                    # 8x8 code -> 64 bits -> 16 hex chars
+RING = 1                    # quiet ring, in cells, around the code
+CELLS = BITS + 2 * RING     # total tag side in cells
+
+
+def bits_to_hex(bits: np.ndarray) -> str:
+    """(8, 8) {0,1} -> 16 lowercase hex chars (row-major, MSB first)."""
+    flat = bits.reshape(-1).astype(int)
+    val = 0
+    for b in flat:
+        val = (val << 1) | int(b)
+    return format(val, "016x")
+
+
+def make_scene(
+    rng: np.random.Generator,
+    src: int = 512,
+    cell: int = 8,
+) -> Tuple[np.ndarray, str, Tuple[int, int, int]]:
+    """Render (image uint8 (src, src, 3), answer hex, (y, x, tag_side)).
+
+    Smooth background (low local contrast everywhere) + one code tag: a
+    black quiet ring around an 8x8 block code. The tag is the only
+    high-frequency region, so contrast-based attention finds it — the
+    synthetic analogue of question-conditioned attention landing on the
+    text the question asks about.
+    """
+    side = CELLS * cell
+    yy, xx = np.mgrid[0:src, 0:src].astype(np.float32) / src
+    base = 90 + 70 * (0.6 * xx + 0.4 * yy)
+    # a couple of large soft blobs so the background isn't a pure gradient
+    for _ in range(3):
+        cy, cx = rng.uniform(0, src, 2)
+        r = rng.uniform(src * 0.2, src * 0.5)
+        d2 = ((np.mgrid[0:src] - cy)[:, None] ** 2 + (np.mgrid[0:src] - cx)[None, :] ** 2)
+        base += rng.uniform(-18, 18) * np.exp(-d2 / (2 * r * r))
+    img = np.repeat(np.clip(base, 40, 215)[..., None], 3, axis=2)
+
+    bits = rng.integers(0, 2, size=(BITS, BITS))
+    tag = np.zeros((CELLS, CELLS), np.float32)  # ring cells stay black
+    tag[RING:RING + BITS, RING:RING + BITS] = bits * 255.0
+    patch = np.kron(tag, np.ones((cell, cell), np.float32))
+
+    margin = side // 2
+    y = int(rng.integers(margin, src - side - margin))
+    x = int(rng.integers(margin, src - side - margin))
+    img[y:y + side, x:x + side] = patch[..., None]
+    return img.astype(np.uint8), bits_to_hex(bits), (y, x, side)
+
+
+def _local_std(gray: np.ndarray, win: int) -> np.ndarray:
+    """Box-filtered local standard deviation (reflect padding)."""
+    pad = win // 2
+    g = np.pad(gray, pad, mode="reflect")
+    # integral-image box sums
+    c = np.cumsum(np.cumsum(g, axis=0), axis=1)
+    c = np.pad(c, ((1, 0), (1, 0)))
+    s = c[win:, win:] - c[:-win, win:] - c[win:, :-win] + c[:-win, :-win]
+    g2 = np.pad(gray * gray, pad, mode="reflect")
+    c2 = np.cumsum(np.cumsum(g2, axis=0), axis=1)
+    c2 = np.pad(c2, ((1, 0), (1, 0)))
+    s2 = c2[win:, win:] - c2[:-win, win:] - c2[win:, :-win] + c2[:-win, :-win]
+    n = win * win
+    var = np.maximum(s2 / n - (s / n) ** 2, 0.0)
+    return np.sqrt(var)
+
+
+@dataclass
+class ReaderBackend:
+    """Extraction-backend duck-type whose perception is resolution-limited.
+
+    ``extract`` returns (attention maps (B, n, n), decoded answers): the
+    maps are contrast saliency pooled to the patch grid (the stand-in for
+    hook-captured attention); the answers come from locating the tag in the
+    LOW-RES view and thresholding its cells back to bits.
+    """
+
+    image_size: int = 128
+    num_patches_side: int = 32
+    name: str = "reader"
+
+    def extract(
+        self, images: np.ndarray, questions: Sequence[str],
+        max_new_tokens: int = 20,
+    ) -> Tuple[np.ndarray, List[str]]:
+        images = np.asarray(images)
+        maps, texts = [], []
+        for b in range(images.shape[0]):
+            view = images[b]
+            if view.shape[0] != self.image_size or view.shape[1] != self.image_size:
+                from attwarp_tpu.extract.extraction import _resize_for_backend
+
+                view = _resize_for_backend(view, self.image_size)
+            gray = np.asarray(view, np.float32).mean(axis=-1)
+            if gray.max() > 1.5:
+                gray = gray / 255.0
+            std = _local_std(gray, win=7)
+            maps.append(self._pool(std))
+            texts.append(self._read(gray, std))
+        return np.stack(maps), texts
+
+    def _pool(self, std: np.ndarray) -> np.ndarray:
+        n = self.num_patches_side
+        k = self.image_size // n
+        grid = std[: n * k, : n * k].reshape(n, k, n, k).mean(axis=(1, 3))
+        total = grid.sum()
+        return (grid / total if total > 0 else
+                np.full((n, n), 1.0 / (n * n), np.float32)).astype(np.float32)
+
+    def _read(self, gray: np.ndarray, std: np.ndarray) -> str:
+        """Locate the high-contrast tag, shrink off the quiet ring, sample
+        the 8x8 cell centers, threshold, emit hex. All from the low-res
+        view — if the cells aren't resolved there, the answer is wrong.
+
+        The contrast window bleeds the bounding box outward by a couple of
+        pixels; rather than assume one shrink, several candidates are
+        decoded and the most confident read wins (confidence = the minimum
+        cell-value margin from the binarization threshold — no ground truth
+        involved)."""
+        mask = std > 0.4 * std.max()
+        if not mask.any():
+            return ""
+        ys, xs = np.nonzero(mask)
+        H, W = gray.shape
+        best, best_conf = "", -1.0
+        for shrink in (1.5, 2.0, 2.5, 3.0):
+            y0, y1 = ys.min() + shrink, ys.max() - shrink
+            x0, x1 = xs.min() + shrink, xs.max() - shrink
+            if y1 <= y0 or x1 <= x0:
+                continue
+            # strip the ring: code occupies the central BITS/CELLS fraction
+            fy = (y1 - y0 + 1) * RING / CELLS
+            fx = (x1 - x0 + 1) * RING / CELLS
+            cy0, cy1 = y0 + fy, y1 + 1 - fy
+            cx0, cx1 = x0 + fx, x1 + 1 - fx
+            vals = np.empty((BITS, BITS), np.float32)
+            for i in range(BITS):
+                yc = cy0 + (i + 0.5) * (cy1 - cy0) / BITS
+                for j in range(BITS):
+                    xc = cx0 + (j + 0.5) * (cx1 - cx0) / BITS
+                    yi = int(np.clip(round(yc), 1, H - 2))
+                    xi = int(np.clip(round(xc), 1, W - 2))
+                    vals[i, j] = gray[yi - 1:yi + 2, xi - 1:xi + 2].mean()
+            thr = (vals.min() + vals.max()) / 2.0
+            spread = max(vals.max() - vals.min(), 1e-6)
+            conf = float(np.min(np.abs(vals - thr)) / spread)
+            if conf > best_conf:
+                best_conf = conf
+                best = bits_to_hex((vals > thr).astype(np.int64))
+        return best
+
+
+def write_textvqa_dataset(
+    out_dir: str,
+    n: int,
+    seed: int = 0,
+    src: int = 512,
+    question: str = "what is the code on the tag?",
+) -> Tuple[str, str]:
+    """Write a TextVQA_0.5.1-layout dataset (JSON + {image_id}.jpg images)
+    of code-tag scenes. Returns (json_path, image_dir)."""
+    import json
+    import os
+
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    image_dir = os.path.join(out_dir, "images")
+    os.makedirs(image_dir, exist_ok=True)
+    data = []
+    for i in range(n):
+        img, answer, _box = make_scene(rng, src=src)
+        image_id = f"codetag_{i:05d}"
+        # JPEG like the real TextVQA images (quality high enough to keep
+        # the tag cells; the reader still can't resolve them unwarped)
+        Image.fromarray(img).save(
+            os.path.join(image_dir, f"{image_id}.jpg"), quality=95
+        )
+        data.append({
+            "question": question,
+            "image_id": image_id,
+            "question_id": i,
+            "answers": [answer] * 10,
+            "image_classes": ["tag"],
+            "image_width": src,
+            "image_height": src,
+        })
+    payload = {
+        "dataset_type": "textvqa",
+        "dataset_name": "synthetic-codetag",
+        "dataset_version": 0.51,
+        "data": data,
+    }
+    json_path = os.path.join(out_dir, "codetag_val.json")
+    with open(json_path, "w") as f:
+        json.dump(payload, f)
+    return json_path, image_dir
