@@ -84,7 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="MLLM backend: 'mini' (self-contained test backend), "
              "'llava:<hf-id-or-path>', 'llava-ckpt:<orbax-dir>', "
              "'qwen2vl:<hf-id-or-path>', or 'qwen2vl-ckpt:<orbax-dir>'; "
-             "append '+int8' to quantize the decoder for serving (w8a8) "
+             "append '+int8' to quantize the decoder for serving (w8a8), "
+             "'+kv8' for an int8 KV cache (2x decode batch capacity), "
              "and/or '+flash' for the Pallas flash-attention prefill (TPU)",
     )
     return p
@@ -102,17 +103,23 @@ def parse_layer_spec(spec) -> "int | tuple":
 
 def make_backend(name: str, layer_index):
     layer_index = parse_layer_spec(layer_index)
-    # "+int8"/"+flash" suffixes on any real backend, composable in any order
-    # (llava-ckpt:/path+int8+flash): int8 quantizes the decoder for serving
-    # (w8a8); flash routes the prefill through the Pallas flash-attention
-    # kernel (TPU; the extraction prefill is SURVEY §3.1 HOT LOOP 1)
+    # "+int8"/"+kv8"/"+flash" suffixes on any real backend, composable in any
+    # order (llava-ckpt:/path+int8+kv8+flash): int8 quantizes the decoder
+    # weights for serving (w8a8); kv8 stores the KV cache int8 (2x decode
+    # batch capacity); flash routes the prefill through the Pallas
+    # flash-attention kernel (TPU; extraction prefill is SURVEY §3.1 HOT LOOP 1)
     base, sep, suffix = name.rpartition("+")
-    if sep and suffix in ("int8", "flash"):
+    if sep and suffix in ("int8", "kv8", "flash"):
         be = make_backend(base, layer_index)
         if suffix == "int8":
             if not hasattr(be, "quantize_int8"):
                 raise ValueError(f"backend {base!r} has no int8 serving path")
             return be.quantize_int8()
+        if suffix == "kv8":
+            if not hasattr(be, "kv_quant"):
+                raise ValueError(f"backend {base!r} has no int8 KV-cache path")
+            be.kv_quant = True
+            return be
         if not hasattr(be, "use_flash"):
             raise ValueError(
                 f"backend {base!r} has no flash-attention prefill path"

@@ -30,7 +30,12 @@ ANSWER_SUFFIX = "Answer in a single word or key phrase."
 
 class ExtractionAnswerBackend:
     """Adapts an attention-extraction backend (``extract(images, questions)``)
-    to the harness's ``answer`` interface."""
+    to the harness's ``answer`` interface.
+
+    Backends exposing ``answer_batch`` (the real LLaVA/Qwen2-VL backends) get
+    the answer-only fast path: a generate with ``extract_layer=None`` that
+    never materializes attention probabilities nor scans an accumulator —
+    eval answering is a plain decode, not a full extraction."""
 
     def __init__(self, backend, max_new_tokens: int = 64):
         self.backend = backend
@@ -40,11 +45,11 @@ class ExtractionAnswerBackend:
         from attwarp_tpu.extract.extraction import _resize_for_backend
 
         img = _resize_for_backend(image_rgb, self.backend.image_size)
-        _maps, texts = self.backend.extract(
-            img[None],
-            [question + ANSWER_SUFFIX],
-            max_new_tokens=max_new_tokens or self.max_new_tokens,
-        )
+        mnt = max_new_tokens or self.max_new_tokens
+        q = question + ANSWER_SUFFIX
+        if hasattr(self.backend, "answer_batch"):
+            return self.backend.answer_batch(img[None], [q], max_new_tokens=mnt)[0]
+        _maps, texts = self.backend.extract(img[None], [q], max_new_tokens=mnt)
         return texts[0]
 
 

@@ -47,7 +47,8 @@ def _first_defined(*vals):
 
 class LlavaBackend:
     def __init__(self, model: LlavaModel, tokenizer=None, image_processor=None,
-                 extract_layer: int = 20, use_flash: bool = False):
+                 extract_layer: int = 20, use_flash: bool = False,
+                 kv_quant: bool = False):
         self.model = model
         self.tokenizer = tokenizer
         self.image_processor = image_processor
@@ -55,6 +56,9 @@ class LlavaBackend:
         # flash-attention prefill (Pallas kernel; enable on TPU for long
         # prompts — the 576-image-token prefill is the dominant cost)
         self.use_flash = use_flash
+        # int8 KV cache (CLI suffix '+kv8'): halves decode-cache HBM vs bf16,
+        # roughly doubling serving batch capacity (numerics/quant.py)
+        self.kv_quant = kv_quant
         self.name = "llava-jax"
 
     # ── loading ────────────────────────────────────────────────────────
@@ -218,16 +222,13 @@ class LlavaBackend:
             extract_layer=self.extract_layer,
             max_new_tokens=max_new_tokens,
             use_flash=self.use_flash,
+            kv_quant=self.kv_quant,
         )
         return np.asarray(gen), np.asarray(maps)
 
     # ── full extraction (needs tokenizer + image processor) ────────────
-    def extract(
-        self,
-        images: np.ndarray,          # (B, H, W, 3) float [0,1] or uint8
-        questions: Sequence[str],
-        max_new_tokens: int = 20,
-    ) -> Tuple[np.ndarray, List[str]]:
+    def _prepare(self, images, questions):
+        """Prompts -> expanded+left-padded ids, mask, CLIP-normalized pixels."""
         if self.tokenizer is None:
             raise RuntimeError(
                 "LlavaBackend.extract needs a tokenizer; load via from_hf or "
@@ -251,9 +252,9 @@ class LlavaBackend:
             ids_list, pad_id=self.model.cfg.pad_token_id, bucket=64
         )
         pixels = np.stack([self._preprocess(im) for im in images])
-        gen, maps = self.extract_from_ids(
-            np.asarray(padded), np.asarray(mask), pixels, max_new_tokens
-        )
+        return np.asarray(padded), np.asarray(mask), pixels
+
+    def _decode(self, gen: np.ndarray) -> List[str]:
         texts = []
         for row in gen:
             out = []
@@ -262,7 +263,42 @@ class LlavaBackend:
                     break
                 out.append(int(t))
             texts.append(self.tokenizer.decode(out, skip_special_tokens=True).strip())
-        return maps, texts
+        return texts
+
+    def extract(
+        self,
+        images: np.ndarray,          # (B, H, W, 3) float [0,1] or uint8
+        questions: Sequence[str],
+        max_new_tokens: int = 20,
+    ) -> Tuple[np.ndarray, List[str]]:
+        padded, mask, pixels = self._prepare(images, questions)
+        gen, maps = self.extract_from_ids(padded, mask, pixels, max_new_tokens)
+        return maps, self._decode(gen)
+
+    def answer_batch(
+        self,
+        images: np.ndarray,
+        questions: Sequence[str],
+        max_new_tokens: int = 64,
+    ) -> List[str]:
+        """Answer-only fast path: greedy generate with ``extract_layer=None``
+        — no layer materializes attention probabilities and no accumulator is
+        scanned, so eval answering skips all extraction work (the reference
+        harness pays a full hooked generate per answer,
+        evaluate_accuracy.py:275-473)."""
+        padded, mask, pixels = self._prepare(images, questions)
+        img_start = np.argmax(padded == self.model.cfg.image_token_index, axis=1)
+        gen, _ = self.model.generate_with_attention(
+            jnp.asarray(padded),
+            jnp.asarray(pixels, jnp.float32),
+            jnp.asarray(mask, bool),
+            jnp.asarray(img_start, jnp.int32),
+            extract_layer=None,
+            max_new_tokens=max_new_tokens,
+            use_flash=self.use_flash,
+            kv_quant=self.kv_quant,
+        )
+        return self._decode(np.asarray(gen))
 
     def _preprocess(self, image: np.ndarray) -> np.ndarray:
         from attwarp_tpu.extract.extraction import _resize_for_backend

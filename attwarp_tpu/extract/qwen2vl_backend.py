@@ -33,10 +33,14 @@ from attwarp_tpu.models.clip_vit import CLIP_MEAN, CLIP_STD
 
 class Qwen2VLBackend:
     def __init__(self, model: Qwen2VLModel, tokenizer=None,
-                 extract_layer: int = 20, image_size: int = 448):
+                 extract_layer: int = 20, image_size: int = 448,
+                 kv_quant: bool = False):
         self.model = model
         self.tokenizer = tokenizer
         self.extract_layer = extract_layer
+        # int8 KV cache (CLI suffix '+kv8'): halves decode-cache HBM vs bf16,
+        # roughly doubling serving batch capacity (numerics/quant.py)
+        self.kv_quant = kv_quant
         # input side; must be divisible by patch*merge (28)
         unit = model.cfg.vision.patch_size * model.cfg.vision.spatial_merge_size
         assert image_size % unit == 0, (image_size, unit)
@@ -203,16 +207,13 @@ class Qwen2VLBackend:
         gen, maps = self.model.generate_with_attention(
             np.asarray(input_ids), patches, grid, np.asarray(attention_mask),
             extract_layer=self.extract_layer, max_new_tokens=max_new_tokens,
+            kv_quant=self.kv_quant,
         )
         return np.asarray(gen), np.asarray(maps)
 
     # ── text-level extraction (needs a tokenizer) ───────────────────────
-    def extract(
-        self,
-        images: np.ndarray,          # (B, H, W, 3)
-        questions: Sequence[str],
-        max_new_tokens: int = 20,
-    ) -> Tuple[np.ndarray, List[str]]:
+    def _prepare(self, images, questions):
+        """Chat prompts -> expanded+left-padded ids, mask, normalized images."""
         if self.tokenizer is None:
             raise RuntimeError("Qwen2VLBackend.extract needs a tokenizer "
                                "(from_hf); use extract_from_ids otherwise")
@@ -241,22 +242,51 @@ class Qwen2VLBackend:
                 + suffix_ids
             )
         padded, mask = left_pad(ids_list, pad_id=cfg.pad_token_id, bucket=64)
-
-        # One batched prefill+decode (vmapped vision tower) — the per-sample
-        # loop serialized B prefills even though all images share one grid.
         imgs = np.stack([self._preprocess(images[b]) for b in range(len(images))])
-        gen, maps = self.extract_from_ids(
-            np.asarray(padded), np.asarray(mask), imgs, max_new_tokens
-        )
+        return np.asarray(padded), np.asarray(mask), imgs
+
+    def _decode(self, gen: np.ndarray) -> List[str]:
         texts = []
-        for b in range(len(images)):
+        for row in gen:
             out = []
-            for tok in gen[b]:
-                if int(tok) == cfg.eos_token_id:
+            for tok in row:
+                if int(tok) == self.model.cfg.eos_token_id:
                     break
                 out.append(int(tok))
             texts.append(self.tokenizer.decode(out, skip_special_tokens=True).strip())
-        return maps, texts
+        return texts
+
+    def extract(
+        self,
+        images: np.ndarray,          # (B, H, W, 3)
+        questions: Sequence[str],
+        max_new_tokens: int = 20,
+    ) -> Tuple[np.ndarray, List[str]]:
+        # One batched prefill+decode (vmapped vision tower) — the per-sample
+        # loop serialized B prefills even though all images share one grid.
+        padded, mask, imgs = self._prepare(images, questions)
+        gen, maps = self.extract_from_ids(padded, mask, imgs, max_new_tokens)
+        return maps, self._decode(gen)
+
+    def answer_batch(
+        self,
+        images: np.ndarray,
+        questions: Sequence[str],
+        max_new_tokens: int = 64,
+    ) -> List[str]:
+        """Answer-only fast path (``extract_layer=None``): no attention
+        probabilities materialized, no accumulator scanned — eval answering
+        skips all extraction work."""
+        padded, mask, imgs = self._prepare(images, questions)
+        vcfg = self.model.cfg.vision
+        per = [patchify_image(im, vcfg) for im in imgs]
+        patches = np.stack([p for p, _ in per])
+        gen, _ = self.model.generate_with_attention(
+            padded, patches, per[0][1], mask,
+            extract_layer=None, max_new_tokens=max_new_tokens,
+            kv_quant=self.kv_quant,
+        )
+        return self._decode(np.asarray(gen))
 
     def _preprocess(self, image: np.ndarray) -> np.ndarray:
         from attwarp_tpu.extract.extraction import _resize_for_backend

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from attwarp_tpu.numerics.quant import apply_linear
+from attwarp_tpu.numerics.quant import apply_linear, dequantize_kv, quantize_kv
 
 
 @dataclass(frozen=True)
@@ -56,9 +56,29 @@ class LlamaKVCache(NamedTuple):
     v: jnp.ndarray
 
 
+class QuantKVCache(NamedTuple):
+    """int8 KV cache: values + per-(token, head) f32 scales
+    (numerics/quant.py::quantize_kv). Half the HBM of bf16 / a quarter of
+    f32 — the decode step streams the whole cache every token, so this
+    directly lifts batch capacity and decode throughput at 7B serving."""
+
+    k_q: jnp.ndarray  # int8 (n_layers, B, max_seq, kv_heads, head_dim)
+    k_s: jnp.ndarray  # f32  (n_layers, B, max_seq, kv_heads)
+    v_q: jnp.ndarray
+    v_s: jnp.ndarray
+
+
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.float32) -> LlamaKVCache:
     shape = (cfg.num_hidden_layers, batch, max_seq, cfg.kv_heads, cfg.head_dim)
     return LlamaKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def init_quant_kv_cache(cfg: LlamaConfig, batch: int, max_seq: int) -> QuantKVCache:
+    shape = (cfg.num_hidden_layers, batch, max_seq, cfg.kv_heads, cfg.head_dim)
+    return QuantKVCache(
+        jnp.zeros(shape, jnp.int8), jnp.zeros(shape[:-1], jnp.float32),
+        jnp.zeros(shape, jnp.int8), jnp.zeros(shape[:-1], jnp.float32),
+    )
 
 
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -248,9 +268,15 @@ def llama_prefill(
     max_seq: int,
     extract_layer: Optional[int] = None,
     use_flash: bool = False,
+    kv_quant: bool = False,
 ):
     """Full-prompt forward. Returns (last_logits (B, vocab), kv cache padded
     to max_seq, extract_row (B, H, T) or None).
+
+    ``kv_quant`` stores the cache as int8 (``QuantKVCache``); the prefill's
+    OWN attention still uses the exact keys/values, so prefill logits and the
+    extract row are bit-identical to the dense-cache path — only the decode
+    steps read quantized history.
 
     ``use_flash`` routes attention through the Pallas flash kernel (TPU
     only); the extract layer's last-row probabilities are computed by a
@@ -282,29 +308,55 @@ def llama_prefill(
         if r is not None:
             rows[i] = r
         pad = max_seq - T
-        ks.append(jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))))
-        vs.append(jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))))
+        if kv_quant:
+            kq, ksc = quantize_kv(k)
+            vq, vsc = quantize_kv(v)
+            ks.append((
+                jnp.pad(kq, ((0, 0), (0, pad), (0, 0), (0, 0))),
+                jnp.pad(ksc, ((0, 0), (0, pad), (0, 0))),
+            ))
+            vs.append((
+                jnp.pad(vq, ((0, 0), (0, pad), (0, 0), (0, 0))),
+                jnp.pad(vsc, ((0, 0), (0, pad), (0, 0))),
+            ))
+        else:
+            ks.append(jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))))
+            vs.append(jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))))
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed_tokens"])
     logits = x[:, -1].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
-    return logits, LlamaKVCache(jnp.stack(ks), jnp.stack(vs)), _stack_rows(rows, extract_layer)
+    if kv_quant:
+        cache = QuantKVCache(
+            jnp.stack([a for a, _ in ks]), jnp.stack([b for _, b in ks]),
+            jnp.stack([a for a, _ in vs]), jnp.stack([b for _, b in vs]),
+        )
+    else:
+        cache = LlamaKVCache(jnp.stack(ks), jnp.stack(vs))
+    return logits, cache, _stack_rows(rows, extract_layer)
 
 
 def llama_decode_step(
     params: Dict[str, Any],
     cfg: LlamaConfig,
     token_embeds: jnp.ndarray,     # (B, 1, D)
-    kv: LlamaKVCache,
+    kv,                            # LlamaKVCache | QuantKVCache
     cur_len: jnp.ndarray,          # scalar int: write position in the cache
     positions: jnp.ndarray,        # (B,) rope position of the new token
     kv_mask: jnp.ndarray,          # (B, max_seq) bool incl. the new slot
     extract_layer: Optional[int] = None,
 ):
-    """Single-token step against the cache. Returns (logits, new_kv, row)."""
+    """Single-token step against the cache. Returns (logits, new_kv, row).
+
+    ``kv`` may be a dense ``LlamaKVCache`` or an int8 ``QuantKVCache``
+    (dispatch is on the pytree type, static at trace time). The quantized
+    path writes the new token's int8 slot + scale and dequantizes inside the
+    attention read — XLA fuses the per-slot multiply into the einsum, so HBM
+    traffic per step is the int8 cache, not a bf16 rematerialization."""
     B = token_embeds.shape[0]
     cos, sin = rope_cos_sin(positions[:, None], cfg.head_dim, cfg.rope_theta)
     x = token_embeds
     want = extract_layers_tuple(extract_layer)
+    quant = isinstance(kv, QuantKVCache)
     new_ks, new_vs, rows = [], [], {}
     for i, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
@@ -312,10 +364,21 @@ def llama_decode_step(
         k1 = apply_linear(h, lp["k_proj"]).reshape(B, 1, cfg.kv_heads, cfg.head_dim)
         v1 = apply_linear(h, lp["v_proj"]).reshape(B, 1, cfg.kv_heads, cfg.head_dim)
         q, k1 = apply_rope(q, k1, cos, sin)
-        k = jax.lax.dynamic_update_slice_in_dim(kv.k[i], k1, cur_len, axis=1)
-        v = jax.lax.dynamic_update_slice_in_dim(kv.v[i], v1, cur_len, axis=1)
-        new_ks.append(k)
-        new_vs.append(v)
+        if quant:
+            k1q, k1s = quantize_kv(k1)
+            v1q, v1s = quantize_kv(v1)
+            upd = lambda c, u: jax.lax.dynamic_update_slice_in_dim(c, u, cur_len, axis=1)
+            kq, ksc = upd(kv.k_q[i], k1q), upd(kv.k_s[i], k1s)
+            vq, vsc = upd(kv.v_q[i], v1q), upd(kv.v_s[i], v1s)
+            new_ks.append((kq, ksc))
+            new_vs.append((vq, vsc))
+            k = dequantize_kv(kq, ksc, q.dtype)
+            v = dequantize_kv(vq, vsc, q.dtype)
+        else:
+            k = jax.lax.dynamic_update_slice_in_dim(kv.k[i], k1, cur_len, axis=1)
+            v = jax.lax.dynamic_update_slice_in_dim(kv.v[i], v1, cur_len, axis=1)
+            new_ks.append(k)
+            new_vs.append(v)
         attn, r = _attn(q, k, v, kv_mask[:, None, :], cfg, want_probs=(i in want))
         if r is not None:
             rows[i] = r
@@ -329,4 +392,11 @@ def llama_decode_step(
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed_tokens"])
     logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
-    return logits, LlamaKVCache(jnp.stack(new_ks), jnp.stack(new_vs)), _stack_rows(rows, extract_layer)
+    if quant:
+        cache = QuantKVCache(
+            jnp.stack([a for a, _ in new_ks]), jnp.stack([b for _, b in new_ks]),
+            jnp.stack([a for a, _ in new_vs]), jnp.stack([b for _, b in new_vs]),
+        )
+    else:
+        cache = LlamaKVCache(jnp.stack(new_ks), jnp.stack(new_vs))
+    return logits, cache, _stack_rows(rows, extract_layer)

@@ -127,24 +127,33 @@ class LlavaModel:
         extract_layer=20,
         max_new_tokens: int = 20,
         use_flash: bool = False,
+        kv_quant: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Greedy decode; returns (generated ids (B, K), attention (B, n, n)).
 
         ``extract_layer`` may be an int or a sequence of ints; a sequence
         extracts every listed layer in the SAME pass and the attention comes
         back as (L, B, n, n) in the given order (one generate instead of L).
-        ``use_flash`` enables the Pallas flash-attention prefill (TPU only)."""
-        if not isinstance(extract_layer, int):
+        ``extract_layer=None`` is the answer-only fast path: no layer ever
+        materializes attention probabilities and no accumulator is carried —
+        the attention result is None (used by the eval harness, which needs
+        text answers, not maps).
+        ``use_flash`` enables the Pallas flash-attention prefill (TPU only).
+        ``kv_quant`` stores the KV cache int8 (half the bf16 HBM; decode
+        batch capacity roughly doubles — numerics/quant.py::quantize_kv)."""
+        if extract_layer is not None and not isinstance(extract_layer, int):
             extract_layer = tuple(extract_layer)
         return _generate_jit(
             self.params, self.cfg, input_ids, pixel_values, attention_mask,
-            img_start, extract_layer, max_new_tokens, use_flash,
+            img_start, extract_layer, max_new_tokens, use_flash, kv_quant,
         )
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "extract_layer", "max_new_tokens", "use_flash"),
+    static_argnames=(
+        "cfg", "extract_layer", "max_new_tokens", "use_flash", "kv_quant"
+    ),
 )
 def _generate_jit(
     params,
@@ -156,15 +165,19 @@ def _generate_jit(
     extract_layer: int,
     max_new_tokens: int,
     use_flash: bool = False,
+    kv_quant: bool = False,
 ):
     tcfg = cfg.text
     B, T = input_ids.shape
     max_seq = T + max_new_tokens
     n_img = cfg.num_image_tokens
     side = int(np.sqrt(n_img))
-    multi = not isinstance(extract_layer, int)
+    answer_only = extract_layer is None
+    multi = not answer_only and not isinstance(extract_layer, int)
 
     def acc(carry, row):
+        if answer_only:  # no accumulator carried at all
+            return carry
         if multi:  # row (L, B, H, T): one accumulator per extracted layer
             return jax.vmap(
                 lambda c, r: accumulate_step(c, r, img_start, jnp.ones((B,)), n_img)
@@ -172,6 +185,8 @@ def _generate_jit(
         return accumulate_step(carry, row, img_start, jnp.ones((B,)), n_img)
 
     def carry_init():
+        if answer_only:
+            return None
         c = init_carry(B, n_img)
         if multi:
             L = len(extract_layer)
@@ -184,6 +199,7 @@ def _generate_jit(
     logits, kv, row0 = llama_prefill(
         params["llama"], tcfg, embeds, attention_mask,
         max_seq=max_seq, extract_layer=extract_layer, use_flash=use_flash,
+        kv_quant=kv_quant,
     )
     carry0 = acc(carry_init(), row0)
     tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -217,8 +233,12 @@ def _generate_jit(
         (tok0, kv, finished0, carry0, full_mask),
         jnp.arange(max_new_tokens, dtype=jnp.int32),
     )
-    maps = (jax.vmap(lambda c: finalize(c, side))(carry) if multi
-            else finalize(carry, side))
+    if answer_only:
+        maps = None
+    elif multi:
+        maps = jax.vmap(lambda c: finalize(c, side))(carry)
+    else:
+        maps = finalize(carry, side)
     return jnp.moveaxis(toks, 0, 1), maps
 
 

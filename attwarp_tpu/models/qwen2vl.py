@@ -36,12 +36,13 @@ import numpy as np
 
 from attwarp_tpu.extract.accumulator import accumulate_step, finalize, init_carry
 from attwarp_tpu.models.llama import (
+    QuantKVCache,
     _repeat_kv,
     _stack_rows,
     extract_layers_tuple,
     rms_norm,
 )
-from attwarp_tpu.numerics.quant import apply_linear
+from attwarp_tpu.numerics.quant import apply_linear, dequantize_kv, quantize_kv
 
 
 # ── configs ─────────────────────────────────────────────────────────────
@@ -303,9 +304,13 @@ def _mlp(lp, h2):
 
 def qwen2vl_prefill(
     params, cfg: Qwen2VLTextConfig, inputs_embeds, attention_mask, cos, sin,
-    max_seq: int, extract_layer: Optional[int] = None,
+    max_seq: int, extract_layer: Optional[int] = None, kv_quant: bool = False,
 ):
-    """Returns (last logits, kv cache (k, v stacked), extract row)."""
+    """Returns (last logits, kv cache (k, v stacked), extract row).
+
+    ``kv_quant`` stores the cache int8 (``QuantKVCache``); the prefill's own
+    attention still uses exact keys/values, so logits and the extract row
+    are identical — only decode steps read quantized history."""
     B, T, _ = inputs_embeds.shape
     causal = jnp.tril(jnp.ones((T, T), bool))[None]
     mask = jnp.logical_and(causal, attention_mask[:, None, :])
@@ -323,12 +328,31 @@ def qwen2vl_prefill(
         h2 = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         x = x + _mlp(lp, h2)
         pad = max_seq - T
-        ks.append(jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))))
-        vs.append(jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))))
+        if kv_quant:
+            kq, ksc = quantize_kv(k)
+            vq, vsc = quantize_kv(v)
+            ks.append((
+                jnp.pad(kq, ((0, 0), (0, pad), (0, 0), (0, 0))),
+                jnp.pad(ksc, ((0, 0), (0, pad), (0, 0))),
+            ))
+            vs.append((
+                jnp.pad(vq, ((0, 0), (0, pad), (0, 0), (0, 0))),
+                jnp.pad(vsc, ((0, 0), (0, pad), (0, 0))),
+            ))
+        else:
+            ks.append(jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))))
+            vs.append(jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))))
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed_tokens"])
     logits = x[:, -1].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
-    return logits, (jnp.stack(ks), jnp.stack(vs)), _stack_rows(rows, extract_layer)
+    if kv_quant:
+        cache = QuantKVCache(
+            jnp.stack([a for a, _ in ks]), jnp.stack([b for _, b in ks]),
+            jnp.stack([a for a, _ in vs]), jnp.stack([b for _, b in vs]),
+        )
+    else:
+        cache = (jnp.stack(ks), jnp.stack(vs))
+    return logits, cache, _stack_rows(rows, extract_layer)
 
 
 def qwen2vl_decode_step(
@@ -337,17 +361,30 @@ def qwen2vl_decode_step(
 ):
     B = token_embeds.shape[0]
     x = token_embeds
-    kcache, vcache = kv
+    quant = isinstance(kv, QuantKVCache)
+    if not quant:
+        kcache, vcache = kv
     want = extract_layers_tuple(extract_layer)
     new_ks, new_vs, rows = [], [], {}
     for i, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
         q, k1, v1 = _qkv(lp, cfg, h)
         q, k1 = _apply_rope(q, k1, cos, sin)
-        k = jax.lax.dynamic_update_slice_in_dim(kcache[i], k1, cur_len, axis=1)
-        v = jax.lax.dynamic_update_slice_in_dim(vcache[i], v1, cur_len, axis=1)
-        new_ks.append(k)
-        new_vs.append(v)
+        if quant:
+            k1q, k1s = quantize_kv(k1)
+            v1q, v1s = quantize_kv(v1)
+            upd = lambda c, u: jax.lax.dynamic_update_slice_in_dim(c, u, cur_len, axis=1)
+            kq, ksc = upd(kv.k_q[i], k1q), upd(kv.k_s[i], k1s)
+            vq, vsc = upd(kv.v_q[i], v1q), upd(kv.v_s[i], v1s)
+            new_ks.append((kq, ksc))
+            new_vs.append((vq, vsc))
+            k = dequantize_kv(kq, ksc, q.dtype)
+            v = dequantize_kv(vq, vsc, q.dtype)
+        else:
+            k = jax.lax.dynamic_update_slice_in_dim(kcache[i], k1, cur_len, axis=1)
+            v = jax.lax.dynamic_update_slice_in_dim(vcache[i], v1, cur_len, axis=1)
+            new_ks.append(k)
+            new_vs.append(v)
         attn, r = _attn(q, k, v, kv_mask[:, None, :], cfg, want_probs=(i in want))
         if r is not None:
             rows[i] = r
@@ -357,7 +394,14 @@ def qwen2vl_decode_step(
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed_tokens"])
     logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
-    return logits, (jnp.stack(new_ks), jnp.stack(new_vs)), _stack_rows(rows, extract_layer)
+    if quant:
+        cache = QuantKVCache(
+            jnp.stack([a for a, _ in new_ks]), jnp.stack([b for _, b in new_ks]),
+            jnp.stack([a for a, _ in new_vs]), jnp.stack([b for _, b in new_vs]),
+        )
+    else:
+        cache = (jnp.stack(new_ks), jnp.stack(new_vs))
+    return logits, cache, _stack_rows(rows, extract_layer)
 
 
 # ── combined model ──────────────────────────────────────────────────────
@@ -410,7 +454,7 @@ class Qwen2VLModel:
 
     def generate_with_attention(
         self, input_ids, patches, grid_thw, attention_mask,
-        extract_layer: int, max_new_tokens: int = 20,
+        extract_layer: int, max_new_tokens: int = 20, kv_quant: bool = False,
     ):
         """Greedy decode with scan-carried attention accumulation; returns
         (generated ids (B, K), attention maps (B, gh/M, gw/M)).
@@ -418,8 +462,10 @@ class Qwen2VLModel:
         ``patches``: (N, D) for one image shared across the batch, or
         (B, N, D) for per-sample images (same grid). ``extract_layer`` may
         be an int or a sequence of ints; a sequence extracts every listed
-        layer in the same pass -> maps (L, B, gh/M, gw/M)."""
-        if not isinstance(extract_layer, int):
+        layer in the same pass -> maps (L, B, gh/M, gw/M); ``None`` is the
+        answer-only fast path (no attention materialized, maps is None).
+        ``kv_quant`` stores the KV cache int8 (numerics/quant.py)."""
+        if extract_layer is not None and not isinstance(extract_layer, int):
             extract_layer = tuple(extract_layer)
         ids = np.asarray(input_ids)
         mask_np = np.asarray(attention_mask)
@@ -436,27 +482,30 @@ class Qwen2VLModel:
             self.params, self.cfg, jnp.asarray(ids), jnp.asarray(patches),
             jnp.asarray(mask_np, bool), jnp.asarray(pos), jnp.asarray(deltas),
             jnp.asarray(img_start), grid_thw, extract_layer, max_new_tokens,
-            side_h, side_w,
+            side_h, side_w, kv_quant,
         )
 
 
 @partial(
     jax.jit,
     static_argnames=("cfg", "grid_thw", "extract_layer", "max_new_tokens",
-                     "side_h", "side_w"),
+                     "side_h", "side_w", "kv_quant"),
 )
 def _qwen_generate_jit(
     params, cfg: Qwen2VLConfig, input_ids, patches, attention_mask,
     positions, deltas, img_start, grid_thw, extract_layer: int,
-    max_new_tokens: int, side_h: int, side_w: int,
+    max_new_tokens: int, side_h: int, side_w: int, kv_quant: bool = False,
 ):
     tcfg = cfg.text
     B, T = input_ids.shape
     max_seq = T + max_new_tokens
     n_img = side_h * side_w
-    multi = not isinstance(extract_layer, int)
+    answer_only = extract_layer is None
+    multi = not answer_only and not isinstance(extract_layer, int)
 
     def acc(carry, row):
+        if answer_only:  # no accumulator carried at all
+            return carry
         if multi:  # row (L, B, H, T): one accumulator per extracted layer
             return jax.vmap(
                 lambda c, r: accumulate_step(c, r, img_start, jnp.ones((B,)), n_img)
@@ -464,6 +513,8 @@ def _qwen_generate_jit(
         return accumulate_step(carry, row, img_start, jnp.ones((B,)), n_img)
 
     def carry_init():
+        if answer_only:
+            return None
         c = init_carry(B, n_img)
         if multi:
             L = len(extract_layer)
@@ -487,7 +538,7 @@ def _qwen_generate_jit(
     cos, sin = mrope_cos_sin(positions, tcfg)
     logits, kv, row0 = qwen2vl_prefill(
         params["text"], tcfg, embeds, attention_mask, cos, sin,
-        max_seq=max_seq, extract_layer=extract_layer,
+        max_seq=max_seq, extract_layer=extract_layer, kv_quant=kv_quant,
     )
     carry0 = acc(carry_init(), row0)
     tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -519,8 +570,12 @@ def _qwen_generate_jit(
         body, (tok0, kv, finished0, carry0, full_mask),
         jnp.arange(max_new_tokens, dtype=jnp.int32),
     )
-    maps = (jax.vmap(lambda c: finalize(c, side_h, side_w))(carry) if multi
-            else finalize(carry, side_h, side_w))
+    if answer_only:
+        maps = None
+    elif multi:
+        maps = jax.vmap(lambda c: finalize(c, side_h, side_w))(carry)
+    else:
+        maps = finalize(carry, side_h, side_w)
     return jnp.moveaxis(toks, 0, 1), maps
 
 

@@ -90,6 +90,35 @@ def apply_linear(h: jnp.ndarray, w: Any) -> jnp.ndarray:
     return y.astype(h.dtype)
 
 
+def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-(token, head) int8 KV quantization.
+
+    ``x`` (..., head_dim) -> (``q`` int8 same shape, ``s`` f32 (...,)) with
+    ``s = max|x| / 127`` over the head dimension. One scale per written KV
+    slot keeps the error local: a token with small keys is not crushed by a
+    batch-mate's outlier.
+
+    TPU-motivated: at 7B serving the decode step is HBM-bound and the KV
+    cache is the term that GROWS with batch — bf16 weights are fixed ~13 GiB
+    while each batch row adds ``2 * L * S * kvH * hd`` cache bytes. int8
+    storage halves that vs bf16 (4x vs f32); the dequant (one multiply) fuses
+    into the attention matmul read, so HBM sees int8 + one f32 scale per
+    128-byte row (~3% overhead). The reference has no KV strategy at all
+    (HF DynamicCache in f16, reference attention_extraction/functions.py).
+    """
+    x32 = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x32 / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def dequantize_kv(q: jnp.ndarray, s: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Inverse of ``quantize_kv`` in the requested compute dtype. Elementwise,
+    so XLA fuses it into the consuming attention einsum — the materialized
+    HBM tensor stays int8."""
+    return q.astype(dtype) * s[..., None].astype(dtype)
+
+
 def quantize_decoder_params(
     params: Dict[str, Any],
     keys: Sequence[str] = DECODER_LINEAR_KEYS,

@@ -113,6 +113,22 @@ def test_layer_sweep_fast_path_matches_fallback(backend, rng):
         backend.tokenizer = old_tok
 
 
+def test_answer_batch_matches_extract_texts(backend, rng):
+    """The answer-only fast path (extract_layer=None, no accumulator) must
+    produce the same greedy text as the full extraction path — same decode,
+    minus the attention work the eval harness doesn't need."""
+    old_tok = backend.tokenizer
+    backend.tokenizer = _WordTok()
+    try:
+        imgs = rng.random((2, 28, 28, 3)).astype(np.float32)
+        qs = ["what is shown", "read the small text"]
+        _maps, texts = backend.extract(imgs, qs, max_new_tokens=4)
+        fast = backend.answer_batch(imgs, qs, max_new_tokens=4)
+        assert fast == texts
+    finally:
+        backend.tokenizer = old_tok
+
+
 def test_llava_int8_extract(backend, rng):
     """int8-quantized LLaMA decoder runs extraction end to end, close to fp."""
     from attwarp_tpu.models import LlavaModel
@@ -135,6 +151,50 @@ def test_llava_int8_extract(backend, rng):
     a, b = maps_f.ravel(), maps_q.ravel()
     cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
     assert cos > 0.95, cos
+
+
+def test_llava_kv8_extract(backend, rng):
+    """int8 KV cache: same shapes/contract, maps close to the dense-cache
+    run (the quantization error only enters through decode-step history)."""
+    from attwarp_tpu.extract.llava_backend import LlavaBackend
+
+    kvbe = LlavaBackend(backend.model, extract_layer=1, kv_quant=True)
+    B, n_img = 2, 4
+    ids = rng.integers(3, 90, size=(B, 12)).astype(np.int64)
+    ids[:, 2 : 2 + n_img] = IMG_TOKEN
+    mask = np.ones_like(ids)
+    pixels = rng.standard_normal((B, 28, 28, 3)).astype(np.float32)
+    gen_f, maps_f = backend.extract_from_ids(ids, mask, pixels, max_new_tokens=4)
+    gen_q, maps_q = kvbe.extract_from_ids(ids, mask, pixels, max_new_tokens=4)
+    assert gen_q.shape == gen_f.shape and maps_q.shape == maps_f.shape
+    # the first generated token comes straight off the (exact) prefill
+    np.testing.assert_array_equal(gen_q[:, 0], gen_f[:, 0])
+    np.testing.assert_allclose(maps_q.reshape(B, -1).sum(-1), 1.0, atol=1e-4)
+    a, b = maps_f.ravel(), maps_q.ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.999, cos
+
+
+def test_kv8_cli_suffix(backend, rng, tmp_path):
+    """'+kv8' flips kv_quant; composes with '+int8'; mini backend rejects."""
+    import pytest as _pytest
+
+    from attwarp_tpu.cli.process_dataset import make_backend
+
+    backend.save(tmp_path / "ckpt")
+    be = make_backend(f"llava-ckpt:{tmp_path / 'ckpt'}+kv8", layer_index=1)
+    assert be.kv_quant is True
+    both = make_backend(f"llava-ckpt:{tmp_path / 'ckpt'}+int8+kv8", layer_index=1)
+    assert both.kv_quant is True
+    import jax.numpy as jnp
+    assert both.model.params["llama"]["layers"][0]["q_proj"]["q"].dtype == jnp.int8
+    ids = rng.integers(3, 90, size=(1, 10)).astype(np.int64)
+    ids[:, 1:5] = IMG_TOKEN
+    pixels = rng.standard_normal((1, 28, 28, 3)).astype(np.float32)
+    g, m = both.extract_from_ids(ids, np.ones_like(ids), pixels, 3)
+    assert g.shape == (1, 3) and np.isfinite(m).all()
+    with _pytest.raises(ValueError, match="KV-cache"):
+        make_backend("mini+kv8", layer_index=1)
 
 
 def test_config_from_hf_roundtrip(backend):

@@ -74,6 +74,37 @@ def test_tp_sharded_generate_matches(tiny, rng):
     assert "model" in (sh.spec[0],), sh.spec
 
 
+def test_tp_kv8_generate_matches(tiny, rng):
+    """int8 KV cache + tensor parallelism compose: the sharded kv_quant
+    generate is token-identical to the unsharded kv_quant one (the cache
+    inherits head-axis sharding by propagation; quantization is per-(token,
+    head), so it never crosses a shard boundary)."""
+    assert len(jax.devices()) >= 8
+    cfg, params = tiny
+    model = LlavaModel(cfg, params)
+
+    ids = rng.integers(3, 90, size=(2, 12)).astype(np.int64)
+    ids[:, 2:6] = IMG_TOKEN
+    pixels = rng.standard_normal((2, 28, 28, 3)).astype(np.float32)
+    args = (
+        jnp.asarray(ids),
+        jnp.asarray(pixels),
+        jnp.ones(ids.shape, bool),
+        jnp.asarray([2, 2], jnp.int32),
+    )
+    gen_ref, maps_ref = model.generate_with_attention(
+        *args, extract_layer=1, max_new_tokens=4, kv_quant=True
+    )
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    model_tp = LlavaModel(cfg, shard_llava_params(params, mesh))
+    gen_tp, maps_tp = model_tp.generate_with_attention(
+        *args, extract_layer=1, max_new_tokens=4, kv_quant=True
+    )
+    np.testing.assert_array_equal(np.asarray(gen_tp), np.asarray(gen_ref))
+    np.testing.assert_allclose(np.asarray(maps_tp), np.asarray(maps_ref), atol=1e-5)
+
+
 def test_tp_int8_generate_matches(tiny, rng):
     """int8 (w8a8) decoder + tensor parallelism compose: the sharded
     quantized generate is token-identical to the unsharded quantized one."""

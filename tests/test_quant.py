@@ -123,6 +123,73 @@ def test_llama_prefill_int8_close(tiny, rng):
     assert _cos(df, dq) > 0.98, _cos(df, dq)
 
 
+def test_quantize_kv_roundtrip_bound(rng):
+    from attwarp_tpu.numerics.quant import dequantize_kv, quantize_kv
+
+    x = jnp.asarray(rng.standard_normal((2, 9, 3, 16)) * 4.0, jnp.float32)
+    q, s = quantize_kv(x)
+    assert q.dtype == jnp.int8 and s.shape == (2, 9, 3)
+    deq = np.asarray(dequantize_kv(q, s, jnp.float32))
+    # symmetric rounding: error at most half a step per (token, head) slot
+    step = np.asarray(s)[..., None]
+    assert (np.abs(deq - np.asarray(x)) <= step * 0.5 + 1e-7).all()
+    # zero rows quantize to exact zeros (padded cache slots)
+    qz, sz = quantize_kv(jnp.zeros((1, 4, 2, 8)))
+    assert (np.asarray(qz) == 0).all()
+    assert (np.asarray(dequantize_kv(qz, sz, jnp.float32)) == 0).all()
+
+
+def test_llama_kv_quant_prefill_exact_then_decode_close(tiny, rng):
+    """kv_quant changes only the STORED cache: prefill logits/rows are
+    bit-identical to dense; chained decode steps stay close (the history the
+    step reads is int8)."""
+    from attwarp_tpu.models.llama import QuantKVCache
+
+    cfg, params = tiny
+    embeds = jnp.asarray(rng.standard_normal((2, 12, 64)) * 0.5, jnp.float32)
+    mask = jnp.ones((2, 12), bool)
+    lf, kvf, rowf = llama_prefill(params, cfg, embeds, mask, max_seq=16,
+                                  extract_layer=1)
+    lq, kvq, rowq = llama_prefill(params, cfg, embeds, mask, max_seq=16,
+                                  extract_layer=1, kv_quant=True)
+    assert isinstance(kvq, QuantKVCache)
+    assert kvq.k_q.dtype == jnp.int8 and kvq.k_s.shape == (3, 2, 16, 2)
+    np.testing.assert_array_equal(np.asarray(lf), np.asarray(lq))
+    np.testing.assert_array_equal(np.asarray(rowf), np.asarray(rowq))
+
+    # three chained decode steps against each cache form
+    tok = jnp.asarray(rng.standard_normal((2, 1, 64)) * 0.5, jnp.float32)
+    for step in range(3):
+        pos = jnp.full((2,), 12 + step, jnp.int32)
+        kvm = jnp.broadcast_to(jnp.arange(16)[None, :] < 13 + step, (2, 16))
+        cur = jnp.int32(12 + step)
+        df, kvf, rf = llama_decode_step(params, cfg, tok, kvf, cur, pos, kvm,
+                                        extract_layer=1)
+        dq, kvq, rq = llama_decode_step(params, cfg, tok, kvq, cur, pos, kvm,
+                                        extract_layer=1)
+        assert isinstance(kvq, QuantKVCache)
+        assert _cos(df, dq) > 0.999, (step, _cos(df, dq))
+        assert _cos(rf, rq) > 0.999, (step, _cos(rf, rq))
+        np.testing.assert_allclose(np.asarray(rq).sum(-1), 1.0, atol=1e-4)
+        tok = jnp.asarray(rng.standard_normal((2, 1, 64)) * 0.5, jnp.float32)
+
+
+def test_kv_quant_cache_is_smaller(tiny, rng):
+    cfg, params = tiny
+    embeds = jnp.asarray(rng.standard_normal((1, 8, 64)), jnp.float32)
+    mask = jnp.ones((1, 8), bool)
+
+    def nbytes(t):
+        return sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(t))
+
+    _, kvf, _ = llama_prefill(params, cfg, embeds, mask, max_seq=32)
+    _, kvq, _ = llama_prefill(params, cfg, embeds, mask, max_seq=32,
+                              kv_quant=True)
+    # int8 values + one f32 scale per head_dim slot vs f32 values: at this
+    # tiny head_dim=16 that's (16+4)/64 = 0.3125x; at the real 128 it's 0.26x
+    assert nbytes(kvq) <= nbytes(kvf) * 0.3125, (nbytes(kvq), nbytes(kvf))
+
+
 def test_int8_params_are_smaller(tiny):
     cfg, params = tiny
     qparams = quantize_decoder_params(params)

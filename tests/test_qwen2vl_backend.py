@@ -187,6 +187,53 @@ def test_qwen_int8_extract(backend, rng):
     assert cos > 0.95, cos
 
 
+class _WordTok:
+    """Hash-words-to-ids stub tokenizer for text-level tests."""
+
+    def __call__(self, text, add_special_tokens=False):
+        return {"input_ids": [3 + (hash(w) % 90) for w in text.split()]}
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(f"t{int(i)}" for i in ids)
+
+
+def test_qwen_answer_batch_matches_extract_texts(backend, rng):
+    """Answer-only fast path (extract_layer=None) produces the same greedy
+    text as the full extraction path."""
+    old_tok = backend.tokenizer
+    backend.tokenizer = _WordTok()
+    try:
+        imgs = rng.random((2, 56, 56, 3)).astype(np.float32)
+        qs = ["what is shown", "read the sign"]
+        _maps, texts = backend.extract(imgs, qs, max_new_tokens=3)
+        fast = backend.answer_batch(imgs, qs, max_new_tokens=3)
+        assert fast == texts
+    finally:
+        backend.tokenizer = old_tok
+
+
+def test_qwen_kv8_extract(backend, rng):
+    """int8 KV cache on the Qwen decoder: same contract, maps close to the
+    dense-cache run, first token (prefill-exact) identical."""
+    kvbe = Qwen2VLBackend(backend.model, extract_layer=1, image_size=56,
+                          kv_quant=True)
+    n_tok = 4
+    ids = rng.integers(3, 90, size=(2, 8 + n_tok)).astype(np.int64)
+    ids[:, 1] = VSTART
+    ids[:, 2 : 2 + n_tok] = IMG_TOKEN
+    mask = np.ones_like(ids)
+    img = rng.standard_normal((56, 56, 3)).astype(np.float32)
+
+    gen_f, maps_f = backend.extract_from_ids(ids, mask, img, max_new_tokens=3)
+    gen_q, maps_q = kvbe.extract_from_ids(ids, mask, img, max_new_tokens=3)
+    assert gen_q.shape == gen_f.shape and maps_q.shape == maps_f.shape
+    np.testing.assert_array_equal(gen_q[:, 0], gen_f[:, 0])
+    np.testing.assert_allclose(maps_q.reshape(2, -1).sum(-1), 1.0, atol=1e-4)
+    a, b = maps_f.ravel(), maps_q.ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.999, cos
+
+
 def test_qwen_save_load_roundtrip(backend, rng, tmp_path):
     import jax
 

@@ -1,10 +1,11 @@
-"""Decode-step throughput at LLaVA-7B shape: bf16 vs int8 (w8a8).
+"""Decode-step throughput at LLaVA-7B shape: bf16 vs int8 (w8a8) weights,
+optionally with an int8 KV cache ('+kv8').
 
 Source of the numbers in ARCHITECTURE.md "int8 serving": on one v5e,
 B=1: bf16 20.9 ms/step (47.8 tok/s) vs int8 12.8 ms/step (78.0 tok/s);
 int8 B=8 reaches 207.5 tok/s while bf16 OOMs past B=2.
 
-Run:  PYTHONPATH=.:$PYTHONPATH python tools/bench_decode.py bf16|int8 [batch]
+Run:  PYTHONPATH=.:$PYTHONPATH python tools/bench_decode.py bf16|int8[+kv8] [batch]
 Chained decode steps inside one jit (argmax -> embed feeds the next step)
 so the relay can't return early and XLA can't hoist anything.
 """
@@ -15,9 +16,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from attwarp_tpu.models.llama import LlamaConfig, LlamaKVCache, llama_decode_step
+from attwarp_tpu.models.llama import (
+    LlamaConfig,
+    LlamaKVCache,
+    init_quant_kv_cache,
+    llama_decode_step,
+)
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "bf16"
+KV8 = MODE.endswith("+kv8")
+if KV8:
+    MODE = MODE[: -len("+kv8")]
 cfg = LlamaConfig()  # 7B: 4096 / 11008 / 32 layers / 32 heads, vocab 32000
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 T_CTX, STEPS = 640, 32
@@ -58,10 +67,15 @@ params = {
 nbytes = sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params))
 print(f"params: {nbytes/2**30:.2f} GiB ({MODE})")
 
-kv = LlamaKVCache(
-    jnp.zeros((cfg.num_hidden_layers, B, MAX_SEQ, cfg.kv_heads, cfg.head_dim), jnp.bfloat16),
-    jnp.zeros((cfg.num_hidden_layers, B, MAX_SEQ, cfg.kv_heads, cfg.head_dim), jnp.bfloat16),
-)
+if KV8:
+    kv = init_quant_kv_cache(cfg, B, MAX_SEQ)
+else:
+    kv = LlamaKVCache(
+        jnp.zeros((cfg.num_hidden_layers, B, MAX_SEQ, cfg.kv_heads, cfg.head_dim), jnp.bfloat16),
+        jnp.zeros((cfg.num_hidden_layers, B, MAX_SEQ, cfg.kv_heads, cfg.head_dim), jnp.bfloat16),
+    )
+kv_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(kv))
+print(f"kv cache: {kv_bytes/2**30:.2f} GiB ({'int8' if KV8 else 'bf16'}, B={B})")
 kv_mask = (jnp.arange(MAX_SEQ)[None, :] < T_CTX + 1).repeat(B, 0)
 positions = jnp.full((B,), T_CTX, jnp.int32)
 emb0 = jax.random.normal(kshape(), (B, 1, D), jnp.bfloat16)
@@ -91,5 +105,6 @@ for _ in range(3):
     times.append(time.perf_counter() - t0)
 best = min(times)
 per_step = best / STEPS * 1e3
-print(f"{MODE}: {best*1e3:.1f} ms for {STEPS} steps -> {per_step:.2f} ms/step "
+label = MODE + ("+kv8" if KV8 else "")
+print(f"{label}: {best*1e3:.1f} ms for {STEPS} steps -> {per_step:.2f} ms/step "
       f"({B / (best / STEPS):.1f} tok/s at B={B})")
