@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel axis size")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoints/ dir of a previous run to resume from")
+    p.add_argument("--data-pipeline", type=str, default=d.data_pipeline,
+                   choices=("auto", "grain", "thread"),
+                   help="input pipeline: grain (worker-ready), thread "
+                        "(in-process prefetch), or auto (grain if installed)")
     return p
 
 
@@ -70,6 +74,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         seed=args.seed,
         mesh_data=args.mesh_data,
         mesh_model=args.mesh_model,
+        data_pipeline=args.data_pipeline,
     )
     from attwarp_tpu.train.trainer import train_loop
 

@@ -107,3 +107,35 @@ def batch_iterator(
         if isinstance(item, BaseException):
             raise item
         yield item
+
+
+def make_batch_iterator(
+    dataset,
+    indices: Sequence[int],
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    drop_last: bool = True,
+    pipeline: str = "auto",
+) -> Iterator[Dict]:
+    """Select the input pipeline: ``"grain"`` (grain-backed, worker-ready),
+    ``"thread"`` (the in-process prefetcher above), or ``"auto"`` (grain when
+    importable, else thread). Both yield the same collated batch dicts; with
+    ``shuffle=False`` the batch sequences are identical
+    (tests/test_data.py::test_grain_matches_thread_iterator)."""
+    from attwarp_tpu.data.grain_pipeline import grain_available
+
+    if pipeline not in ("auto", "grain", "thread"):
+        raise ValueError(f"unknown data pipeline {pipeline!r}")
+    use_grain = pipeline == "grain" or (pipeline == "auto" and grain_available())
+    if use_grain:
+        from attwarp_tpu.data.grain_pipeline import make_grain_iterator
+
+        return make_grain_iterator(
+            dataset, indices, batch_size,
+            shuffle=shuffle, seed=seed, drop_last=drop_last,
+        )
+    return batch_iterator(
+        dataset, indices, batch_size,
+        shuffle=shuffle, seed=seed, drop_last=drop_last,
+    )

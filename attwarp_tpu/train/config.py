@@ -69,3 +69,8 @@ class TrainConfig:
     mesh_data: Optional[int] = None   # None -> all devices on the data axis
     mesh_model: int = 1
     checkpoint_every_epochs: int = 1
+
+    # ---- input pipeline ----
+    # "auto" -> grain when importable, else the thread prefetcher;
+    # "grain" / "thread" force one path (data/loader.py::make_batch_iterator)
+    data_pipeline: str = "auto"

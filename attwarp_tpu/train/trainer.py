@@ -22,7 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from attwarp_tpu.data.loader import batch_iterator, split_indices
+from attwarp_tpu.data.loader import (
+    batch_iterator,
+    make_batch_iterator,
+    split_indices,
+)
 from attwarp_tpu.data.manifests import FullDataset
 from attwarp_tpu.numerics.cdf import cdf_from_density, gt_marginals
 from attwarp_tpu.numerics.pooling import adaptive_avg_pool2d, upsample_pdf_right_inverse
@@ -230,9 +234,10 @@ def train_loop(
 
     for epoch in range(start_epoch, cfg.epochs):
         loss_sum, nb = 0.0, 0
-        for raw in batch_iterator(
+        for raw in make_batch_iterator(
             dataset, train_idx, cfg.batch_size, shuffle=True,
             seed=cfg.seed + epoch, drop_last=True,
+            pipeline=cfg.data_pipeline,
         ):
             with timer.stage("features"):
                 jbatch = prepare_batch(raw, feats)
@@ -267,8 +272,9 @@ def train_loop(
         # validation
         val_sum, vb = 0.0, 0
         did_debug = False
-        for raw in batch_iterator(
-            dataset, val_idx, cfg.batch_size, shuffle=False, drop_last=False
+        for raw in make_batch_iterator(
+            dataset, val_idx, cfg.batch_size, shuffle=False, drop_last=False,
+            pipeline=cfg.data_pipeline,
         ):
             jbatch = prepare_batch(raw, feats)
             if mesh is not None and jbatch["image"].shape[0] % n_data != 0:

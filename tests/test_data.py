@@ -115,6 +115,90 @@ def test_batch_iterator_and_split(tmp_path, rng):
     assert len(batches) == len(train_idx) // 4
 
 
+def test_grain_matches_thread_iterator(tmp_path, rng):
+    """The grain pipeline yields the SAME collated batch sequence as the
+    thread prefetcher when shuffle is off (same indices, same collate), so
+    the two paths are interchangeable under the trainer."""
+    pytest.importorskip("grain")
+    from attwarp_tpu.data.grain_pipeline import grain_available, make_grain_iterator
+
+    assert grain_available()
+    gqa = _make_root(tmp_path, "g4", 5, rng)
+    ds = FullDataset(gqa, gqa, gqa, num_samples_per_dataset=4, image_size=32,
+                     random_seed=1)
+    idx = list(range(len(ds)))
+    thread = list(batch_iterator(ds, idx, batch_size=4, shuffle=False))
+    grain_b = list(make_grain_iterator(ds, idx, batch_size=4, shuffle=False))
+    assert len(thread) == len(grain_b) == 3
+    for tb, gb in zip(thread, grain_b):
+        np.testing.assert_array_equal(tb["image"], gb["image"])
+        np.testing.assert_array_equal(tb["attention_map"], gb["attention_map"])
+        np.testing.assert_array_equal(tb["sqrt_mask"], gb["sqrt_mask"])
+        assert tb["q_str"] == gb["q_str"] and tb["answer"] == gb["answer"]
+
+
+def test_grain_shuffle_deterministic_and_complete(tmp_path, rng):
+    """Seeded grain shuffle: two runs identical; every sample appears once
+    per epoch; a different seed gives a different order."""
+    pytest.importorskip("grain")
+    from attwarp_tpu.data.grain_pipeline import make_grain_iterator
+
+    gqa = _make_root(tmp_path, "g5", 5, rng)
+    ds = FullDataset(gqa, gqa, gqa, num_samples_per_dataset=4, image_size=32,
+                     random_seed=1)
+    idx = list(range(len(ds)))
+
+    def qs(seed):
+        out = []
+        for b in make_grain_iterator(ds, idx, 4, shuffle=True, seed=seed,
+                                     drop_last=False):
+            out.extend(b["q_str"])
+        return out
+
+    a, b, c = qs(7), qs(7), qs(8)
+    assert a == b
+    assert sorted(a) == sorted(qs(8))  # same multiset, every sample once
+    assert a != c
+
+
+def test_grain_multi_host_sharding(tmp_path, rng):
+    """host_local_indices + grain compose into disjoint, complete per-host
+    streams (the multi-host input sharding contract)."""
+    pytest.importorskip("grain")
+    from attwarp_tpu.data.grain_pipeline import make_grain_iterator
+    from attwarp_tpu.data.loader import host_local_indices
+
+    gqa = _make_root(tmp_path, "g6", 6, rng)
+    ds = FullDataset(gqa, gqa, gqa, num_samples_per_dataset=4, image_size=32,
+                     random_seed=1)
+    idx = list(range(len(ds)))
+    seen = []
+    for host in range(2):
+        local = host_local_indices(idx, process_index=host, process_count=2)
+        assert len(local) == 6
+        for b in make_grain_iterator(ds, local, 3, shuffle=False):
+            seen.extend(b["q_str"])
+    all_q = [ds[i]["question"] for i in idx]
+    assert sorted(seen) == sorted(all_q)  # disjoint + complete
+
+
+def test_make_batch_iterator_selection(tmp_path, rng):
+    """pipeline='auto' uses grain when installed; 'thread' forces the
+    prefetcher; unknown names are rejected."""
+    from attwarp_tpu.data.loader import make_batch_iterator
+
+    gqa = _make_root(tmp_path, "g7", 5, rng)
+    ds = FullDataset(gqa, gqa, gqa, num_samples_per_dataset=4, image_size=32,
+                     random_seed=1)
+    idx = list(range(len(ds)))
+    t = list(make_batch_iterator(ds, idx, 4, pipeline="thread"))
+    a = list(make_batch_iterator(ds, idx, 4, pipeline="auto"))
+    assert len(t) == len(a) == 3
+    np.testing.assert_array_equal(t[0]["image"], a[0]["image"])
+    with pytest.raises(ValueError, match="pipeline"):
+        make_batch_iterator(ds, idx, 4, pipeline="torch")
+
+
 def test_progress_manifest_roundtrip(tmp_path):
     p = str(tmp_path / "progress.json")
     m = ProgressManifest(p)
