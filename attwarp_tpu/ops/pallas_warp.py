@@ -1,14 +1,28 @@
-"""Fused Pallas warp kernel.
+"""Fused Pallas warp kernel (int8 fixed-point MXU core).
 
-One grid program per image: the per-axis inverse maps (computed outside —
-they are tiny) are expanded to two-banded interpolation matrices IN VMEM via
-iota comparisons, and both separable passes run back-to-back on the MXU
-without the intermediate ever touching HBM. Versus the XLA einsum pair this
-halves HBM traffic (no (B, H, W_out, C) intermediate round-trip) and skips
-materializing the R matrices in HBM entirely.
+One grid program per (image, channel): the per-axis inverse maps (computed
+outside — they are tiny) are expanded to two-banded interpolation matrices
+IN VMEM via iota comparisons, and both separable passes run back-to-back on
+the MXU without any intermediate touching HBM.
 
-Layout: channels-first (C, H, W) per image so the matmul operands are
-(H, W)-shaped with the 128-lane dimension fully utilized.
+The resample core is *two-level int8 fixed point*: every operand x with
+|x| ≤ 1 is split as ``x ≈ (q_hi + q_lo/254)/127`` (two int8 planes ≈ 15
+bits), and each matmul runs as THREE int8×int8 MXU passes with exact int32
+accumulation (hi·hi + hi·lo + lo·hi; the dropped lo·lo term is ≤ 2/254² ≈
+3e-5 for two-banded rows). The v5e MXU multiplies int8 at twice its bf16
+rate, so this outruns both the previous in-kernel 3-pass double-bf16 dot and
+XLA's Precision.HIGH einsum pair — measured numbers in ARCHITECTURE.md §4.
+
+Why Pallas and not XLA for the int8 form: XLA materializes each int8
+einsum's int32 result in HBM (~6 full-image intermediates per warp), which
+erases the MXU gain (measured 15k warps/s vs 86k for the bf16 HIGH pair at
+336px/b128 — `warp/resample.py::remap_bilinear_separable_mm_int8` keeps that
+prototype). In the kernel all passes accumulate in VMEM; HBM sees one image
+read and one image write.
+
+Accuracy: ~6e-5 max deviation from the exact gather path on [0,1]-scaled
+pixels (16x inside the ≤1e-3 cv2-parity budget); a per-channel dynamic range
+scale handles arbitrary input scales.
 """
 
 from __future__ import annotations
@@ -34,31 +48,42 @@ def _interp_matrix_in_kernel(coords: jnp.ndarray, in_len: int) -> jnp.ndarray:
     ) * frac[:, None]
 
 
-def _dot_bf16_3x(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """f32 matmul via the 3-pass double-bfloat16 decomposition (~2^-21
-    relative error — well inside the ≤1e-3 parity budget, at half the cost
-    of Mosaic's 6-pass HIGHEST; Mosaic's DEFAULT truncates operands to a
-    single bf16 pass, which does NOT meet the budget, and its dot lowering
-    rejects Precision.HIGH, hence the manual split)."""
-    a_hi = a.astype(jnp.bfloat16)
-    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    b_hi = b.astype(jnp.bfloat16)
-    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+def _quant_pair(x: jnp.ndarray):
+    """Two-level int8 split of |x| ≤ 1: ``x ≈ (q_hi + q_lo/254)/127``."""
+    s = x * 127.0
+    q_hi = jnp.clip(jnp.round(s), -127, 127)
+    q_lo = jnp.clip(jnp.round((s - q_hi) * 254.0), -127, 127)
+    return q_hi.astype(jnp.int8), q_lo.astype(jnp.int8)
 
-    def f(x, y):
-        return jnp.dot(x, y, preferred_element_type=jnp.float32)
 
-    return f(a_hi, b_hi) + f(a_hi, b_lo) + f(a_lo, b_hi)
+def _dot_int8_pair(a_pair, b_pair) -> jnp.ndarray:
+    """``A @ B`` on two-level int8 pairs: three int8 MXU passes, exact int32
+    accumulation, f32 result with the operands' [-1, 1] ranges restored."""
+    a_hi, a_lo = a_pair
+    b_hi, b_lo = b_pair
+
+    def d(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.int32)
+
+    main = d(a_hi, b_hi).astype(jnp.float32)
+    corr = (d(a_hi, b_lo) + d(a_lo, b_hi)).astype(jnp.float32)
+    return (main + corr * (1.0 / 254.0)) * (1.0 / (127.0 * 127.0))
 
 
 def _warp_kernel(mapx_ref, mapy_ref, img_ref, out_ref):
-    # mapx: (1, 1, W_out); mapy: (1, 1, H_out); img: (1, C, H, W)
-    C, H, W = img_ref.shape[1], img_ref.shape[2], img_ref.shape[3]
+    # mapx: (1, 1, W_out); mapy: (1, 1, H_out); img: (1, 1, H, W) one channel
+    H, W = img_ref.shape[2], img_ref.shape[3]
     Rx = _interp_matrix_in_kernel(mapx_ref[0, 0, :], W)   # (W_out, W)
     Ry = _interp_matrix_in_kernel(mapy_ref[0, 0, :], H)   # (H_out, H)
-    for c in range(C):  # C is small and static (3)
-        t = _dot_bf16_3x(img_ref[0, c], Rx.T)
-        out_ref[0, c] = _dot_bf16_3x(Ry, t)
+    img = img_ref[0, 0]
+    # per-channel dynamic range scale (≈1 for [0,1] pixels, 255 for uint8)
+    m = jnp.maximum(jnp.max(jnp.abs(img)), 1e-12)
+    x = _quant_pair(img * (1.0 / m))
+    rx = _quant_pair(Rx.T)          # (W, W_out); rows of Rx sum to 1
+    ry = _quant_pair(Ry)
+    t = _dot_int8_pair(x, rx)       # (H, W_out) in [-1-eps, 1+eps]
+    out = _dot_int8_pair(ry, _quant_pair(t))
+    out_ref[0, 0] = out * m
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -68,25 +93,30 @@ def warp_batch_pallas_cf(
     map_y: jnp.ndarray,      # (B, H_out) source y coords
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused separable bilinear warp; returns (B, C, H_out, W_out)."""
+    """Fused separable bilinear warp; returns (B, C, H_out, W_out).
+
+    Grid (B, C): one channel per program keeps the VMEM working set at
+    ~4·H·W bytes + matrices, so 672px images fit comfortably (the whole-
+    image variant hit the ~16 MB VMEM ceiling there)."""
     B, C, H, W = images_cf.shape
     W_out = map_x.shape[1]
     H_out = map_y.shape[1]
-    flops = 2 * 2 * C * H * W * max(W_out, H_out)
+    # 3 int8 passes per matmul at 2 ops/flop-equivalent ~ flops for scheduling
+    flops = 2 * 2 * H * W * max(W_out, H_out) * 3
     return pl.pallas_call(
         _warp_kernel,
-        grid=(B,),
+        grid=(B, C),
         in_specs=[
-            pl.BlockSpec((1, 1, W_out), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, H_out), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, H, W), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W_out), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H_out), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H, W), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, C, H_out, W_out), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, H_out, W_out), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, C, H_out, W_out), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=B * flops,
+            flops=B * C * flops,
             bytes_accessed=4 * B * C * (H * W + H_out * W_out),
             transcendentals=0,
         ),

@@ -116,6 +116,69 @@ def interp_matrix(coords: jnp.ndarray, in_len: int) -> jnp.ndarray:
     ) * frac[:, None]
 
 
+def _quant_pair_unit(x: jnp.ndarray):
+    """Two-level int8 quantization of values with |x| ≤ 1:
+    ``x ≈ (q_hi + q_lo/254) / 127`` with q_hi, q_lo ∈ [-127, 127].
+    Residual ≤ 1/(2·127·254) ≈ 1.55e-5 — two int8 planes carry ~15 bits."""
+    s = x * 127.0
+    q_hi = jnp.clip(jnp.round(s), -127, 127)
+    q_lo = jnp.clip(jnp.round((s - q_hi) * 254.0), -127, 127)
+    return q_hi.astype(jnp.int8), q_lo.astype(jnp.int8)
+
+
+def _einsum_int8_pair(spec: str, a_pair, b_pair):
+    """``einsum(spec, A, B)`` where both operands are two-level int8 pairs
+    (≈15-bit fixed point, ``_quant_pair_unit``). Three int8×int8 MXU passes
+    with exact int32 accumulation — the MXU multiplies int8 at twice its
+    bf16 rate, so this outruns the 3-pass bf16 decomposition
+    (Precision.HIGH) at comparable accuracy. The dropped lo·lo term is
+    ≤ 2/254² ≈ 3.1e-5 for two-banded interpolation rows. Returns f32 with
+    the operands' [-1, 1] ranges restored."""
+    a_hi, a_lo = a_pair
+    b_hi, b_lo = b_pair
+
+    def e(a, b):
+        return jnp.einsum(spec, a, b, preferred_element_type=jnp.int32)
+
+    main = e(a_hi, b_hi).astype(jnp.float32)
+    corr = (e(a_hi, b_lo) + e(a_lo, b_hi)).astype(jnp.float32)
+    return (main + corr * (1.0 / 254.0)) * (1.0 / (127.0 * 127.0))
+
+
+def remap_bilinear_separable_mm_int8(
+    image: jnp.ndarray,
+    map_x: jnp.ndarray,
+    map_y: jnp.ndarray,
+) -> jnp.ndarray:
+    """int8 fixed-point matmul remap: ``image (H, W[, C])`` -> warped.
+
+    The fastest TPU path: both separable passes run as three int8×int8 MXU
+    matmuls (two-level quantization) instead of three bf16 passes — the v5e
+    MXU is 2x faster in int8, and int32 accumulation is exact. Accuracy
+    ~1e-4 on [0,1]-scaled pixels (10x inside the ≤1e-3 cv2-parity budget;
+    golden-tested in tests/test_warp_golden.py). Inputs outside [0,1] are
+    handled by a dynamic per-call range scale.
+    """
+    img = image.astype(jnp.float32)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    H, W = img.shape[0], img.shape[1]
+    # dynamic range scale (≈1.0 for [0,1] pixel inputs, exact max otherwise)
+    m = jnp.maximum(jnp.max(jnp.abs(img)), 1e-12)
+    Rx = interp_matrix(map_x.astype(jnp.float32), W)  # (W_out, W), in [0,1]
+    Ry = interp_matrix(map_y.astype(jnp.float32), H)  # (H_out, H)
+    t = _einsum_int8_pair(
+        "hwc,jw->hjc", _quant_pair_unit(img / m), _quant_pair_unit(Rx)
+    )
+    # rows of Rx sum to 1, so t stays in [-1-eps, 1+eps]: requantize directly
+    out = _einsum_int8_pair(
+        "ih,hjc->ijc", _quant_pair_unit(Ry), _quant_pair_unit(t)
+    )
+    out = out * m
+    return out[..., 0] if squeeze else out
+
+
 def remap_bilinear_separable_mm(
     image: jnp.ndarray,
     map_x: jnp.ndarray,

@@ -30,6 +30,7 @@ from attwarp_tpu.warp.grid import (
 from attwarp_tpu.warp.resample import (
     remap_bilinear_separable,
     remap_bilinear_separable_mm,
+    remap_bilinear_separable_mm_int8,
 )
 from attwarp_tpu.warp.transforms import WarpParams
 
@@ -37,6 +38,8 @@ from attwarp_tpu.warp.transforms import WarpParams
 def _resample(image, map_x, map_y, method: str):
     if method == "mm":
         return remap_bilinear_separable_mm(image, map_x, map_y)
+    if method == "mm_int8":
+        return remap_bilinear_separable_mm_int8(image, map_x, map_y)
     if method == "mm_exact":
         return remap_bilinear_separable_mm(
             image, map_x, map_y, precision=jax.lax.Precision.HIGHEST

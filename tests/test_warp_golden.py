@@ -143,6 +143,21 @@ def test_batched_lowres_attention_matches_reference_path(rng):
         assert np.max(np.abs(ours[b] - ref)) <= 0.06
 
 
+def test_mm_int8_matches_gather(rng):
+    """The int8 fixed-point resample (two-level quantization, three int8 MXU
+    passes per matmul) stays within the ≤1e-3 cv2-parity budget on [0,1]
+    scale, at both [0,1] and [0,255] input scales."""
+    B, H, W = 3, 48, 40
+    atts = rng.random((B, H, W)).astype(np.float32)
+    for scale in (1.0, 255.0):
+        imgs = (rng.random((B, H, W, 3)) * scale).astype(np.float32)
+        q = np.asarray(warp_batch_by_attention(
+            jnp.asarray(imgs), jnp.asarray(atts), W, H, method="mm_int8"))
+        g = np.asarray(warp_batch_by_attention(
+            jnp.asarray(imgs), jnp.asarray(atts), W, H, method="gather"))
+        assert np.max(np.abs(q - g)) <= 1e-3 * scale, scale
+
+
 def test_area_preservation(rng):
     """The warp's forward map spans exactly [0, out_len] — total image area
     is preserved (no crop, no pad)."""
