@@ -28,6 +28,8 @@ from attwarp_tpu.models.llama import LlamaConfig
 from attwarp_tpu.models.llava import LlavaConfig, LlavaModel
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "bf16"
+FLASH = "+flash" in MODE
+MODE = MODE.replace("+flash", "")
 KV8 = MODE.endswith("+kv8")
 if KV8:
     MODE = MODE[: -len("+kv8")]
@@ -112,11 +114,11 @@ params = {
     },
 }
 nbytes = sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params))
-label = MODE + ("+kv8" if KV8 else "")
+label = MODE + ("+kv8" if KV8 else "") + ("+flash" if FLASH else "")
 print(f"params: {nbytes/2**30:.2f} GiB ({label}); B={B} T={T} new={NEW}")
 
 backend = LlavaBackend(LlavaModel(cfg, params), extract_layer=LAYER,
-                       kv_quant=KV8)
+                       kv_quant=KV8, use_flash=FLASH)
 
 # prompt: left-padded ids with the 576-token image span starting at 32
 rng = np.random.default_rng(0)
