@@ -351,13 +351,28 @@ def llama_decode_step(
     (dispatch is on the pytree type, static at trace time). The quantized
     path writes the new token's int8 slot + scale and dequantizes inside the
     attention read — XLA fuses the per-slot multiply into the einsum, so HBM
-    traffic per step is the int8 cache, not a bf16 rematerialization."""
+    traffic per step is the int8 cache, not a bf16 rematerialization.
+
+    Cache updates are ``dynamic_update_slice`` on the stacked (L, B, S, H, D)
+    arrays — a chain XLA executes in place inside the caller's decode scan.
+    (The earlier per-layer list + ``jnp.stack`` form rewrote the ENTIRE
+    cache every token and kept two copies alive across the scan carry —
+    both the extra full-cache HBM write per step and the 2x memory are
+    gone; this is what moves the 7B serving batch ceiling.)"""
     B = token_embeds.shape[0]
     cos, sin = rope_cos_sin(positions[:, None], cfg.head_dim, cfg.rope_theta)
     x = token_embeds
     want = extract_layers_tuple(extract_layer)
     quant = isinstance(kv, QuantKVCache)
-    new_ks, new_vs, rows = [], [], {}
+
+    def upd(cache, new, layer):
+        # write (B, 1, ...) at [layer, :, cur_len]
+        zeros = (0,) * (cache.ndim - 3)
+        return jax.lax.dynamic_update_slice(
+            cache, new[None], (layer, 0, cur_len, *zeros)
+        )
+
+    rows = {}
     for i, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
         q = apply_linear(h, lp["q_proj"]).reshape(B, 1, cfg.num_attention_heads, cfg.head_dim)
@@ -367,18 +382,16 @@ def llama_decode_step(
         if quant:
             k1q, k1s = quantize_kv(k1)
             v1q, v1s = quantize_kv(v1)
-            upd = lambda c, u: jax.lax.dynamic_update_slice_in_dim(c, u, cur_len, axis=1)
-            kq, ksc = upd(kv.k_q[i], k1q), upd(kv.k_s[i], k1s)
-            vq, vsc = upd(kv.v_q[i], v1q), upd(kv.v_s[i], v1s)
-            new_ks.append((kq, ksc))
-            new_vs.append((vq, vsc))
-            k = dequantize_kv(kq, ksc, q.dtype)
-            v = dequantize_kv(vq, vsc, q.dtype)
+            kv = QuantKVCache(
+                upd(kv.k_q, k1q, i), upd(kv.k_s, k1s, i),
+                upd(kv.v_q, v1q, i), upd(kv.v_s, v1s, i),
+            )
+            k = dequantize_kv(kv.k_q[i], kv.k_s[i], q.dtype)
+            v = dequantize_kv(kv.v_q[i], kv.v_s[i], q.dtype)
         else:
-            k = jax.lax.dynamic_update_slice_in_dim(kv.k[i], k1, cur_len, axis=1)
-            v = jax.lax.dynamic_update_slice_in_dim(kv.v[i], v1, cur_len, axis=1)
-            new_ks.append(k)
-            new_vs.append(v)
+            kv = LlamaKVCache(upd(kv.k, k1, i), upd(kv.v, v1, i))
+            k = kv.k[i]
+            v = kv.v[i]
         attn, r = _attn(q, k, v, kv_mask[:, None, :], cfg, want_probs=(i in want))
         if r is not None:
             rows[i] = r
@@ -392,11 +405,4 @@ def llama_decode_step(
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed_tokens"])
     logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
-    if quant:
-        cache = QuantKVCache(
-            jnp.stack([a for a, _ in new_ks]), jnp.stack([b for _, b in new_ks]),
-            jnp.stack([a for a, _ in new_vs]), jnp.stack([b for _, b in new_vs]),
-        )
-    else:
-        cache = LlamaKVCache(jnp.stack(new_ks), jnp.stack(new_vs))
-    return logits, cache, _stack_rows(rows, extract_layer)
+    return logits, kv, _stack_rows(rows, extract_layer)

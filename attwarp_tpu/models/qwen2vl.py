@@ -362,10 +362,17 @@ def qwen2vl_decode_step(
     B = token_embeds.shape[0]
     x = token_embeds
     quant = isinstance(kv, QuantKVCache)
-    if not quant:
-        kcache, vcache = kv
     want = extract_layers_tuple(extract_layer)
-    new_ks, new_vs, rows = [], [], {}
+
+    def upd(cache, new, layer):
+        # in-place-aliasable write of (B, 1, ...) at [layer, :, cur_len]
+        # (see llama.py::llama_decode_step — no full-cache stack/rewrite)
+        zeros = (0,) * (cache.ndim - 3)
+        return jax.lax.dynamic_update_slice(
+            cache, new[None], (layer, 0, cur_len, *zeros)
+        )
+
+    rows = {}
     for i, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
         q, k1, v1 = _qkv(lp, cfg, h)
@@ -373,18 +380,17 @@ def qwen2vl_decode_step(
         if quant:
             k1q, k1s = quantize_kv(k1)
             v1q, v1s = quantize_kv(v1)
-            upd = lambda c, u: jax.lax.dynamic_update_slice_in_dim(c, u, cur_len, axis=1)
-            kq, ksc = upd(kv.k_q[i], k1q), upd(kv.k_s[i], k1s)
-            vq, vsc = upd(kv.v_q[i], v1q), upd(kv.v_s[i], v1s)
-            new_ks.append((kq, ksc))
-            new_vs.append((vq, vsc))
-            k = dequantize_kv(kq, ksc, q.dtype)
-            v = dequantize_kv(vq, vsc, q.dtype)
+            kv = QuantKVCache(
+                upd(kv.k_q, k1q, i), upd(kv.k_s, k1s, i),
+                upd(kv.v_q, v1q, i), upd(kv.v_s, v1s, i),
+            )
+            k = dequantize_kv(kv.k_q[i], kv.k_s[i], q.dtype)
+            v = dequantize_kv(kv.v_q[i], kv.v_s[i], q.dtype)
         else:
-            k = jax.lax.dynamic_update_slice_in_dim(kcache[i], k1, cur_len, axis=1)
-            v = jax.lax.dynamic_update_slice_in_dim(vcache[i], v1, cur_len, axis=1)
-            new_ks.append(k)
-            new_vs.append(v)
+            kcache, vcache = kv
+            kv = (upd(kcache, k1, i), upd(vcache, v1, i))
+            k = kv[0][i]
+            v = kv[1][i]
         attn, r = _attn(q, k, v, kv_mask[:, None, :], cfg, want_probs=(i in want))
         if r is not None:
             rows[i] = r
@@ -394,14 +400,7 @@ def qwen2vl_decode_step(
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed_tokens"])
     logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
-    if quant:
-        cache = QuantKVCache(
-            jnp.stack([a for a, _ in new_ks]), jnp.stack([b for _, b in new_ks]),
-            jnp.stack([a for a, _ in new_vs]), jnp.stack([b for _, b in new_vs]),
-        )
-    else:
-        cache = (jnp.stack(new_ks), jnp.stack(new_vs))
-    return logits, cache, _stack_rows(rows, extract_layer)
+    return logits, kv, _stack_rows(rows, extract_layer)
 
 
 # ── combined model ──────────────────────────────────────────────────────
