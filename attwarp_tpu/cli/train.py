@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("auto", "grain", "thread"),
                    help="input pipeline: grain (worker-ready), thread "
                         "(in-process prefetch), or auto (grain if installed)")
+    p.add_argument("--watch-gradients", action="store_true",
+                   help="log per-module gradient norms (wandb.watch equivalent)")
     return p
 
 
@@ -75,6 +77,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         mesh_data=args.mesh_data,
         mesh_model=args.mesh_model,
         data_pipeline=args.data_pipeline,
+        watch_gradients=bool(args.watch_gradients),
     )
     from attwarp_tpu.train.trainer import train_loop
 

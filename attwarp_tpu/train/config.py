@@ -74,3 +74,7 @@ class TrainConfig:
     # "auto" -> grain when importable, else the thread prefetcher;
     # "grain" / "thread" force one path (data/loader.py::make_batch_iterator)
     data_pipeline: str = "auto"
+
+    # ---- observability ----
+    # per-module gradient norms in the step metrics (wandb.watch equivalent)
+    watch_gradients: bool = False

@@ -137,6 +137,14 @@ def train_step(
     updates, new_opt = make_optimizer(cfg).update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     metrics["grad_norm"] = optax.global_norm(grads)
+    if cfg.watch_gradients:
+        # per-module gradient norms — the TPU equivalent of the reference's
+        # best-effort wandb.watch(net, log="gradients") (trainer.py:146-153);
+        # computed inside the jitted step (a few tiny reductions), logged
+        # through the metric sink at the trainer's log cadence
+        groups = grads.get("params", grads) if isinstance(grads, dict) else grads
+        for name, sub in groups.items():
+            metrics[f"grad_norm/{name}"] = optax.global_norm(sub)
     return TrainState(state.step + 1, new_params, new_opt), metrics
 
 

@@ -255,16 +255,20 @@ def train_loop(
             loss_sum += loss
             nb += 1
             if global_step % cfg.log_every == 0:
-                run.log(
-                    {
-                        "global_step": global_step,
-                        "loss/train_total": loss,
-                        "loss/train_pdf": float(metrics["loss/pdf"]),
-                        "loss/train_recon_l1": float(metrics["loss/recon_l1"]),
-                        "lr": cfg.lr,
-                        "grad_norm": float(metrics["grad_norm"]),
-                    }
-                )
+                payload = {
+                    "global_step": global_step,
+                    "loss/train_total": loss,
+                    "loss/train_pdf": float(metrics["loss/pdf"]),
+                    "loss/train_recon_l1": float(metrics["loss/recon_l1"]),
+                    "lr": cfg.lr,
+                    "grad_norm": float(metrics["grad_norm"]),
+                }
+                # per-module norms when --watch-gradients (wandb.watch parity)
+                payload.update({
+                    k: float(v) for k, v in metrics.items()
+                    if k.startswith("grad_norm/")
+                })
+                run.log(payload)
             if global_step % cfg.vis_every == 0:
                 _debug_round(model, _host_state(state), jbatch, raw,
                              run_dir / "debug", "train", global_step, cfg)

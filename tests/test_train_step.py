@@ -58,6 +58,27 @@ def test_train_step_descends(rng, cfg):
     assert np.isfinite(losses).all()
 
 
+def test_watch_gradients_per_module_norms(rng, cfg):
+    """cfg.watch_gradients adds per-module grad norms (wandb.watch parity);
+    their squared sum reconstructs the global norm."""
+    import dataclasses
+
+    wcfg = dataclasses.replace(cfg, watch_gradients=True)
+    batch = _fake_batch(rng)
+    model, state = create_train_state(wcfg, jax.random.PRNGKey(0), batch)
+    _, metrics = train_step(state, batch, model, wcfg)
+    per = {k: float(v) for k, v in metrics.items() if k.startswith("grad_norm/")}
+    assert per, "no per-module norms emitted"
+    assert all(np.isfinite(v) for v in per.values())
+    total = float(metrics["grad_norm"])
+    np.testing.assert_allclose(
+        np.sqrt(sum(v**2 for v in per.values())), total, rtol=1e-5
+    )
+    # off by default: no per-module keys
+    _, m0 = train_step(state, batch, model, cfg)
+    assert not any(k.startswith("grad_norm/") for k in m0)
+
+
 def test_eval_step(rng, cfg):
     batch = _fake_batch(rng)
     model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
