@@ -115,6 +115,34 @@ def test_batch_iterator_and_split(tmp_path, rng):
     assert len(batches) == len(train_idx) // 4
 
 
+def test_textvqa_download_fallback(tmp_path, rng):
+    """Missing local image + download_images=True fetches from the sample's
+    flickr URL (file:// here — same urllib path) and caches it as
+    {image_id}.jpg, matching main.py:156-177; disabled -> None."""
+    src = tmp_path / "remote.jpg"
+    arr = (rng.random((20, 24, 3)) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(src)
+    data = {"dataset_type": "val", "dataset_name": "textvqa",
+            "dataset_version": "0.5.1",
+            "data": [{"image_id": "img1", "question": "q?",
+                      "answers": ["a"],
+                      "flickr_original_url": src.as_uri()}]}
+    jp = tmp_path / "tv.json"
+    jp.write_text(json.dumps(data))
+    img_dir = tmp_path / "imgs"
+
+    off = TextVQADataset(str(jp), image_dir=str(img_dir))
+    assert off[0]["loaded_image"] is None  # zero-egress default: skip
+
+    ds = TextVQADataset(str(jp), image_dir=str(img_dir), download_images=True)
+    got = ds[0]["loaded_image"]
+    assert got is not None and got.shape == (20, 24, 3)
+    assert (img_dir / "img1.jpg").exists()  # cached
+    # second access loads from cache (works even with download disabled now)
+    again = TextVQADataset(str(jp), image_dir=str(img_dir))[0]["loaded_image"]
+    assert again is not None and again.shape == (20, 24, 3)
+
+
 def test_grain_matches_thread_iterator(tmp_path, rng):
     """The grain pipeline yields the SAME collated batch sequence as the
     thread prefetcher when shuffle is off (same indices, same collate), so
