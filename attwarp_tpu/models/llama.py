@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from attwarp_tpu.numerics.quant import apply_linear, dequantize_kv, quantize_kv
+from attwarp_tpu.numerics.quant import apply_linear, quantize_kv
 
 
 @dataclass(frozen=True)
@@ -192,6 +192,34 @@ def _flash_attn(q, k, v, attention_mask, cfg: LlamaConfig):
         block_sizes=blocks,
     )
     return out.transpose(0, 2, 1, 3).reshape(B, T, cfg.hidden_size)
+
+
+def _attn_quantcache(q, k_q, k_s, v_q, v_s, mask, cfg: LlamaConfig, want_probs):
+    """Decode attention directly against the int8 cache.
+
+    Mathematically identical to dequantize-then-attend, but the scales are
+    factored OUT of the matmul operands: scores = (q · k_q) ⊙ k_s and
+    out = (probs ⊙ v_s) · v_q. The dots then consume a pure int8→dtype
+    convert, which XLA fuses into the matmul operand load at every batch
+    size — the fused-multiply dequant form stopped fusing at B=16 and
+    materialized a bf16 cache copy per layer (measured 3.3× step-time
+    regression; ARCHITECTURE.md)."""
+    n_rep = cfg.num_attention_heads // cfg.kv_heads
+    k_q = _repeat_kv(k_q, n_rep)              # (B, S, H, hd) int8
+    v_q = _repeat_kv(v_q, n_rep)
+    k_s = _repeat_kv(k_s[..., None], n_rep)[..., 0]   # (B, S, H)
+    v_s = _repeat_kv(v_s[..., None], n_rep)[..., 0]
+    scale = 1.0 / np.sqrt(cfg.head_dim)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_q.astype(q.dtype))
+    logits = logits.astype(jnp.float32) * jnp.transpose(k_s, (0, 2, 1))[:, :, None, :]
+    logits = logits * scale
+    logits = jnp.where(mask[:, None, :, :], logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1)
+    pv = probs * jnp.transpose(v_s, (0, 2, 1))[:, :, None, :]
+    out = jnp.einsum("bhqk,bkhd->bqhd", pv.astype(q.dtype), v_q.astype(q.dtype))
+    B, Tq = out.shape[0], out.shape[1]
+    out = out.reshape(B, Tq, cfg.hidden_size)
+    return out, (probs[:, :, -1, :] if want_probs else None)
 
 
 def _last_row_probs(q_last, k, mask_last, cfg: LlamaConfig):
@@ -386,13 +414,27 @@ def llama_decode_step(
                 upd(kv.k_q, k1q, i), upd(kv.k_s, k1s, i),
                 upd(kv.v_q, v1q, i), upd(kv.v_s, v1s, i),
             )
-            k = dequantize_kv(kv.k_q[i], kv.k_s[i], q.dtype)
-            v = dequantize_kv(kv.v_q[i], kv.v_s[i], q.dtype)
+            # measured batch-size crossover on v5e (tools/bench_decode.py):
+            # the fused-dequant form is faster at small batch (15.7 vs 17.3
+            # ms/step at B=8) but XLA stops fusing it at B>=16 (52.5 vs 47.0
+            # at B=16, where the scale-factored form wins). B is static at
+            # trace time, so pick per compilation.
+            if B >= 16:
+                attn, r = _attn_quantcache(
+                    q, kv.k_q[i], kv.k_s[i], kv.v_q[i], kv.v_s[i],
+                    kv_mask[:, None, :], cfg, want_probs=(i in want),
+                )
+            else:
+                from attwarp_tpu.numerics.quant import dequantize_kv
+
+                k = dequantize_kv(kv.k_q[i], kv.k_s[i], q.dtype)
+                v = dequantize_kv(kv.v_q[i], kv.v_s[i], q.dtype)
+                attn, r = _attn(q, k, v, kv_mask[:, None, :], cfg,
+                                want_probs=(i in want))
         else:
             kv = LlamaKVCache(upd(kv.k, k1, i), upd(kv.v, v1, i))
-            k = kv.k[i]
-            v = kv.v[i]
-        attn, r = _attn(q, k, v, kv_mask[:, None, :], cfg, want_probs=(i in want))
+            attn, r = _attn(q, kv.k[i], kv.v[i], kv_mask[:, None, :], cfg,
+                            want_probs=(i in want))
         if r is not None:
             rows[i] = r
         x = x + apply_linear(attn, lp["o_proj"])

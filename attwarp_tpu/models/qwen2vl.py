@@ -37,12 +37,13 @@ import numpy as np
 from attwarp_tpu.extract.accumulator import accumulate_step, finalize, init_carry
 from attwarp_tpu.models.llama import (
     QuantKVCache,
+    _attn_quantcache,
     _repeat_kv,
     _stack_rows,
     extract_layers_tuple,
     rms_norm,
 )
-from attwarp_tpu.numerics.quant import apply_linear, dequantize_kv, quantize_kv
+from attwarp_tpu.numerics.quant import apply_linear, quantize_kv
 
 
 # ── configs ─────────────────────────────────────────────────────────────
@@ -384,14 +385,24 @@ def qwen2vl_decode_step(
                 upd(kv.k_q, k1q, i), upd(kv.k_s, k1s, i),
                 upd(kv.v_q, v1q, i), upd(kv.v_s, v1s, i),
             )
-            k = dequantize_kv(kv.k_q[i], kv.k_s[i], q.dtype)
-            v = dequantize_kv(kv.v_q[i], kv.v_s[i], q.dtype)
+            # batch-size crossover mirrors llama_decode_step (B static)
+            if B >= 16:
+                attn, r = _attn_quantcache(
+                    q, kv.k_q[i], kv.k_s[i], kv.v_q[i], kv.v_s[i],
+                    kv_mask[:, None, :], cfg, want_probs=(i in want),
+                )
+            else:
+                from attwarp_tpu.numerics.quant import dequantize_kv
+
+                k = dequantize_kv(kv.k_q[i], kv.k_s[i], q.dtype)
+                v = dequantize_kv(kv.v_q[i], kv.v_s[i], q.dtype)
+                attn, r = _attn(q, k, v, kv_mask[:, None, :], cfg,
+                                want_probs=(i in want))
         else:
             kcache, vcache = kv
             kv = (upd(kcache, k1, i), upd(vcache, v1, i))
-            k = kv[0][i]
-            v = kv[1][i]
-        attn, r = _attn(q, k, v, kv_mask[:, None, :], cfg, want_probs=(i in want))
+            attn, r = _attn(q, kv[0][i], kv[1][i], kv_mask[:, None, :], cfg,
+                            want_probs=(i in want))
         if r is not None:
             rows[i] = r
         x = x + apply_linear(attn, lp["o_proj"])
