@@ -7,10 +7,12 @@ Attention-source-agnostic math from ``Ablations/Stable_diffusion_based_warp.py``
   channels into 2-D maps, resize to a common grid, average, min-max
   normalize.
 - ``run_cross_attention_warp``: the full pipeline with an injectable
-  ``capture_fn`` — the diffusion-specific capture (DDIM inversion + the
-  third-party ``attention_map_diffusers`` hooks + SD weights) plugs in
-  there; this zero-egress environment has neither, so the capture itself
-  stays external by design.
+  ``capture_fn``. The diffusers-side capture (768px VAE encode, truncated
+  DDIM inversion, cross-attention recording processors) lives in
+  ``warp/sd_capture.py`` — ``make_sd_capture_fn`` builds the callable; it
+  is duck-typed against the pipeline surface and stub-tested
+  (tests/test_sd_capture.py), with only the actual diffusers/SD-weights
+  load unavailable in a zero-egress environment.
 
 Captured-map convention (matching the reference): ``dict[timestep ->
 dict[layer_key -> array (B, heads, H, W, tokens)]]``.
