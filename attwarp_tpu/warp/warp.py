@@ -96,7 +96,10 @@ def warp_batch_by_attention(
     form on-chip, within ~5e-5 of it on [0,1] pixels); ``"mm_exact"`` is the
     same at HIGHEST precision (~2e-7); ``"gather"`` is the bit-reference;
     ``"pallas"`` routes to the fused Pallas kernel
-    (attwarp_tpu.ops.pallas_warp).
+    (attwarp_tpu.ops.pallas_warp); ``"auto"`` picks by the measured v5e
+    crossover — the Pallas kernel for ≥640px images (wins 11-28x at 672px
+    b32-b128, where XLA's HBM working set spills), the einsum pair below
+    (86k vs 65k at 336px, 29k vs 27k at 500px; ARCHITECTURE.md §4).
 
     If the attention resolution differs from the image resolution the
     marginals are computed at attention resolution and inverted directly to
@@ -104,6 +107,8 @@ def warp_batch_by_attention(
     the attention (the piecewise-constant density integrates to the same
     CDF), and much cheaper than materializing an image-res attention map.
     """
+    if method == "auto":
+        method = "pallas" if min(images.shape[1], images.shape[2]) >= 640 else "mm"
     if method == "pallas":
         from attwarp_tpu.ops.pallas_warp import warp_batch_by_attention_pallas
 
