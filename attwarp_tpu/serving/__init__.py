@@ -1,0 +1,6 @@
+"""Continuous-batching serving for the JAX MLLMs (TPU-native; the reference
+has no serving path)."""
+
+from attwarp_tpu.serving.engine import Request, ServeEngine
+
+__all__ = ["Request", "ServeEngine"]

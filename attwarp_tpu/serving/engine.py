@@ -1,0 +1,295 @@
+"""Continuous-batching serving engine for the JAX MLLMs.
+
+The reference has no serving path at all (its batched driver processes one
+fixed batch end to end, ``attention_extraction/functions.py:188-328``); this
+is the TPU-native production counterpart: a fixed pool of ``slots`` decodes
+in lock-step through ONE jitted step while requests stream in and out —
+a finished slot is refilled from the queue on the next tick, so short
+answers never hold up long ones (continuous batching).
+
+Design (single chip; params may be TP-sharded — the step inherits their
+shardings like every other jitted consumer):
+
+- **Slot cache**: one ``(L, B_slots, max_seq, kvH, hd)`` KV cache (dense or
+  int8 via ``kv_quant``). Prompts are written compactly from position 0 —
+  no left padding, so rope positions equal cache positions.
+- **Admission**: each request is prefilled alone at its 64-token length
+  bucket (one compilation per bucket) and its K/V block is inserted into a
+  free slot; the first generated token comes from the prefill logits.
+- **Step**: one jit advances every slot: per-slot rope position and
+  per-slot cache write position (vmapped ``dynamic_update_slice``), masked
+  attention over each slot's own prefix, greedy argmax. Inactive slots
+  compute garbage that is never read.
+- **Harvest**: a slot retires on EOS or its request's ``max_new_tokens``.
+
+Extraction is deliberately out of scope — serving answers questions
+(the eval/answering path); attention extraction uses the batched
+``generate_with_attention`` pipeline.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attwarp_tpu.models.llama import (
+    LlamaConfig,
+    LlamaKVCache,
+    QuantKVCache,
+    _attn,
+    apply_rope,
+    init_kv_cache,
+    init_quant_kv_cache,
+    llama_prefill,
+    rms_norm,
+    rope_cos_sin,
+)
+from attwarp_tpu.numerics.quant import apply_linear, dequantize_kv, quantize_kv
+
+
+# ── jitted core ─────────────────────────────────────────────────────────
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _insert_dense(cache: LlamaKVCache, block: LlamaKVCache, slot, cfg):
+    """Write a single-request prefill cache block (L, 1, Tb, H, D) into
+    ``slot`` at positions [0, Tb)."""
+    k = jax.lax.dynamic_update_slice(cache.k, block.k.astype(cache.k.dtype),
+                                     (0, slot, 0, 0, 0))
+    v = jax.lax.dynamic_update_slice(cache.v, block.v.astype(cache.v.dtype),
+                                     (0, slot, 0, 0, 0))
+    return LlamaKVCache(k, v)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _insert_quant(cache: QuantKVCache, block: QuantKVCache, slot, cfg):
+    def ins(big, small):
+        zeros = (0,) * (big.ndim - 2)
+        return jax.lax.dynamic_update_slice(big, small, (0, slot, *zeros))
+
+    return QuantKVCache(
+        ins(cache.k_q, block.k_q), ins(cache.k_s, block.k_s),
+        ins(cache.v_q, block.v_q), ins(cache.v_s, block.v_s),
+    )
+
+
+def _upd_slot(cache_l, new, cur_lens):
+    """Per-slot write: cache_l (B, S, ...) gets new (B, 1, ...) at each
+    slot's own position (vmapped dynamic_update_slice)."""
+    return jax.vmap(
+        lambda c, n, s: jax.lax.dynamic_update_slice_in_dim(c, n, s, axis=0)
+    )(cache_l, new, cur_lens)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts):
+    """Advance every slot one token.
+
+    tokens (B,) int32; cur_lens (B,) = cache position the new token is
+    written at; starts (B,) = where each slot's prompt begins (prompts are
+    left-padded inside their length bucket, so the pad region [0, start) is
+    permanently masked out). Rope positions are valid-token counts
+    (cur_lens - starts), matching the prefill's cumsum convention. Mirrors
+    ``llama_decode_step`` but with PER-SLOT positions — the
+    continuous-batching requirement the shared-scalar step cannot express."""
+    B = tokens.shape[0]
+    S = (kv.k_q if isinstance(kv, QuantKVCache) else kv.k).shape[2]
+    quant = isinstance(kv, QuantKVCache)
+    emb = params["embed_tokens"][tokens][:, None, :]
+    positions = cur_lens - starts
+    cos, sin = rope_cos_sin(positions[:, None], cfg.head_dim, cfg.rope_theta)
+    # each slot attends its own prefix INCLUDING the token written this step
+    ar = jnp.arange(S)[None, :]
+    kv_mask = (ar >= starts[:, None]) & (ar <= cur_lens[:, None])
+    x = emb
+    new = kv
+    for i, lp in enumerate(params["layers"]):
+        h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+        q = apply_linear(h, lp["q_proj"]).reshape(B, 1, cfg.num_attention_heads, cfg.head_dim)
+        k1 = apply_linear(h, lp["k_proj"]).reshape(B, 1, cfg.kv_heads, cfg.head_dim)
+        v1 = apply_linear(h, lp["v_proj"]).reshape(B, 1, cfg.kv_heads, cfg.head_dim)
+        q, k1 = apply_rope(q, k1, cos, sin)
+        if quant:
+            k1q, k1s = quantize_kv(k1)
+            v1q, v1s = quantize_kv(v1)
+            new = QuantKVCache(
+                new.k_q.at[i].set(_upd_slot(new.k_q[i], k1q, cur_lens)),
+                new.k_s.at[i].set(_upd_slot(new.k_s[i], k1s, cur_lens)),
+                new.v_q.at[i].set(_upd_slot(new.v_q[i], v1q, cur_lens)),
+                new.v_s.at[i].set(_upd_slot(new.v_s[i], v1s, cur_lens)),
+            )
+            k = dequantize_kv(new.k_q[i], new.k_s[i], q.dtype)
+            v = dequantize_kv(new.v_q[i], new.v_s[i], q.dtype)
+        else:
+            new = LlamaKVCache(
+                new.k.at[i].set(_upd_slot(new.k[i], k1.astype(new.k.dtype), cur_lens)),
+                new.v.at[i].set(_upd_slot(new.v[i], v1.astype(new.v.dtype), cur_lens)),
+            )
+            k = new.k[i]
+            v = new.v[i]
+        attn, _ = _attn(q, k, v, kv_mask[:, None, :], cfg, want_probs=False)
+        x = x + apply_linear(attn, lp["o_proj"])
+        h2 = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        mlp = apply_linear(
+            jax.nn.silu(apply_linear(h2, lp["gate_proj"])) * apply_linear(h2, lp["up_proj"]),
+            lp["down_proj"],
+        )
+        x = x + mlp
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    lm_head = params.get("lm_head", params["embed_tokens"])
+    logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), new
+
+
+# ── engine ──────────────────────────────────────────────────────────────
+
+
+@dataclass
+class Request:
+    rid: int
+    input_ids: np.ndarray            # (T,) expanded image tokens (LLaVA)
+    pixel_values: Optional[np.ndarray] = None   # (S, S, 3) or None (text-only)
+    max_new_tokens: int = 64
+
+
+@dataclass
+class _Slot:
+    rid: int = -1
+    generated: List[int] = field(default_factory=list)
+    remaining: int = 0
+    active: bool = False
+
+
+class ServeEngine:
+    """Continuous-batching greedy-decode engine over a ``LlavaModel``.
+
+    >>> eng = ServeEngine(model, slots=8, max_seq=768)
+    >>> eng.submit(ids, pixels, max_new_tokens=32)   # any number of times
+    >>> results = eng.run()                          # {rid: [token, ...]}
+    """
+
+    def __init__(self, model, slots: int = 8, max_seq: int = 768,
+                 bucket: int = 64, kv_quant: bool = False):
+        self.model = model
+        self.cfg = model.cfg
+        self.tcfg = model.cfg.text
+        self.slots = slots
+        self.max_seq = max_seq
+        self.bucket = bucket
+        self.kv_quant = kv_quant
+        if kv_quant:
+            self.kv = init_quant_kv_cache(self.tcfg, slots, max_seq)
+        else:
+            self.kv = init_kv_cache(self.tcfg, slots, max_seq,
+                                    dtype=self._cache_dtype())
+        self._slots = [_Slot() for _ in range(slots)]
+        self.tokens = np.zeros((slots,), np.int32)
+        self.cur_lens = np.zeros((slots,), np.int32)
+        self.starts = np.zeros((slots,), np.int32)
+        self.queue: deque = deque()
+        self.results: Dict[int, List[int]] = {}
+        self._next_rid = 0
+
+    def _cache_dtype(self):
+        emb = self.model.params["llama"]["embed_tokens"]
+        return emb.dtype if hasattr(emb, "dtype") else jnp.float32
+
+    # ── public API ─────────────────────────────────────────────────────
+    def submit(self, input_ids, pixel_values=None, max_new_tokens: int = 64) -> int:
+        rid = self._next_rid
+        self._next_rid += 1
+        self.queue.append(Request(rid, np.asarray(input_ids).reshape(-1),
+                                  None if pixel_values is None
+                                  else np.asarray(pixel_values),
+                                  max_new_tokens))
+        return rid
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drive until queue and slots drain; returns {rid: generated ids}."""
+        while self.queue or any(s.active for s in self._slots):
+            self._admit()
+            if any(s.active for s in self._slots):
+                self._tick()
+        return self.results
+
+    # ── internals ──────────────────────────────────────────────────────
+    def _admit(self):
+        for b, slot in enumerate(self._slots):
+            if slot.active or not self.queue:
+                continue
+            req = self.queue.popleft()
+            first = self._prefill_into(b, req)
+            slot.rid = req.rid
+            slot.generated = [int(first)]
+            slot.remaining = req.max_new_tokens - 1
+            slot.active = True
+            if int(first) == self.cfg.eos_token_id or slot.remaining <= 0:
+                self._retire(b)
+
+    def _prefill_into(self, b: int, req: Request) -> int:
+        """Left-pad the prompt inside its 64-token bucket (ONE compilation
+        per bucket), prefill, insert the block at [0, Tb) of the slot."""
+        T = len(req.input_ids)
+        Tb = min(-(-T // self.bucket) * self.bucket, self.max_seq)
+        pad = Tb - T
+        assert T <= self.max_seq - 1, (T, self.max_seq)
+        ids = np.zeros((1, Tb), np.int64)
+        ids[0, pad:] = req.input_ids
+        mask = np.zeros((1, Tb), bool)
+        mask[0, pad:] = True
+        if req.pixel_values is not None:
+            from attwarp_tpu.models.llava import embed_and_splice
+
+            embeds = embed_and_splice(
+                self.model.params, self.cfg, jnp.asarray(ids),
+                jnp.asarray(req.pixel_values[None], jnp.float32),
+            )
+        else:
+            embeds = self.model.params["llama"]["embed_tokens"][
+                jnp.clip(jnp.asarray(ids), 0, None)
+            ]
+        logits, block, _ = llama_prefill(
+            self.model.params["llama"], self.tcfg, embeds,
+            jnp.asarray(mask), max_seq=Tb, kv_quant=self.kv_quant,
+        )
+        ins = _insert_quant if self.kv_quant else _insert_dense
+        self.kv = ins(self.kv, block, jnp.int32(b), self.tcfg)
+        tok = int(np.asarray(jnp.argmax(logits, axis=-1))[0])
+        self.tokens[b] = tok
+        self.cur_lens[b] = Tb       # next write position (after the bucket)
+        self.starts[b] = pad        # pad region permanently masked
+        return tok
+
+    def _tick(self):
+        nxt, self.kv = _step(
+            self.model.params["llama"], self.tcfg,
+            jnp.asarray(self.tokens), self.kv, jnp.asarray(self.cur_lens),
+            jnp.asarray(self.starts),
+        )
+        nxt = np.asarray(nxt)
+        for b, slot in enumerate(self._slots):
+            if not slot.active:
+                continue
+            self.cur_lens[b] += 1
+            tok = int(nxt[b])
+            slot.generated.append(tok)
+            slot.remaining -= 1
+            self.tokens[b] = tok
+            if tok == self.cfg.eos_token_id or slot.remaining <= 0 \
+                    or self.cur_lens[b] >= self.max_seq - 1:
+                self._retire(b)
+
+    def _retire(self, b: int):
+        slot = self._slots[b]
+        self.results[slot.rid] = slot.generated
+        slot.active = False
+        slot.rid = -1
+        self.cur_lens[b] = 0
+        self.starts[b] = 0
+        self.tokens[b] = 0

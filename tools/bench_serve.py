@@ -1,0 +1,91 @@
+"""Continuous-batching engine throughput at LLaVA-7B shape.
+
+A stream of requests (random prompt lengths, one 64-token length bucket
+each) through ``ServeEngine`` on one chip: aggregate generated tok/s and
+per-request latency. The reference has no serving counterpart; the
+comparable internal number is tools/bench_decode.py's fixed-batch decode
+(509 tok/s at int8+kv8 B=8), which a real request stream can't sustain
+without continuous batching — this measures how close the engine gets with
+admission/harvest overhead included.
+
+Run:  PYTHONPATH=.:$PYTHONPATH python tools/bench_serve.py bf16|int8[+kv8] [slots] [requests]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attwarp_tpu.models.clip_vit import ClipVisionConfig
+from attwarp_tpu.models.llama import LlamaConfig
+from attwarp_tpu.models.llava import LlavaConfig, LlavaModel
+from attwarp_tpu.serving import ServeEngine
+
+MODE = sys.argv[1] if len(sys.argv) > 1 else "int8+kv8"
+KV8 = MODE.endswith("+kv8")
+if KV8:
+    MODE = MODE[: -len("+kv8")]
+SLOTS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+N_REQ = int(sys.argv[3]) if len(sys.argv) > 3 else 24
+MAX_NEW = 32
+
+cfg = LlavaConfig(vision=ClipVisionConfig(), text=LlamaConfig(),
+                  image_token_index=32000)
+key = jax.random.PRNGKey(0)
+
+
+def k():
+    global key
+    key, s = jax.random.split(key)
+    return s
+
+
+def lin(o, i):
+    if MODE == "int8":
+        q = jax.random.randint(k(), (o, i), -127, 128, dtype=jnp.int8)
+        s = jax.random.uniform(k(), (o,), jnp.float32, 0.5, 1.5) / (127 * np.sqrt(i))
+        return {"q": q, "s": s}
+    return jax.random.normal(k(), (o, i), jnp.bfloat16) / float(np.sqrt(i))
+
+
+t = cfg.text
+D, I = t.hidden_size, t.intermediate_size
+params = {"llama": {
+    "embed_tokens": jax.random.normal(k(), (t.vocab_size, D), jnp.bfloat16) * 0.02,
+    "lm_head": jax.random.normal(k(), (t.vocab_size, D), jnp.bfloat16) * 0.02,
+    "norm": jnp.ones((D,), jnp.bfloat16),
+    "layers": [
+        {"q_proj": lin(D, D), "k_proj": lin(D, D), "v_proj": lin(D, D),
+         "o_proj": lin(D, D), "gate_proj": lin(I, D), "up_proj": lin(I, D),
+         "down_proj": lin(D, I),
+         "input_layernorm": jnp.ones((D,), jnp.bfloat16),
+         "post_attention_layernorm": jnp.ones((D,), jnp.bfloat16)}
+        for _ in range(t.num_hidden_layers)
+    ],
+}}
+model = LlavaModel(cfg, params)
+rng = np.random.default_rng(0)
+
+label = MODE + ("+kv8" if KV8 else "")
+print(f"engine: {label}, slots={SLOTS}, requests={N_REQ}, max_new={MAX_NEW}")
+
+# warm the compiles (one prefill bucket + the step) with a tiny run
+warm = ServeEngine(model, slots=SLOTS, max_seq=768, bucket=64, kv_quant=KV8)
+ids = rng.integers(3, 31999, size=(600,)).astype(np.int64)
+warm.submit(ids, None, max_new_tokens=2)
+warm.run()
+
+eng = ServeEngine(model, slots=SLOTS, max_seq=768, bucket=64, kv_quant=KV8)
+total_new = 0
+for _ in range(N_REQ):
+    T = int(rng.integers(577, 640))   # one 64-token bucket (=> 640)
+    ids = rng.integers(3, 31999, size=(T,)).astype(np.int64)
+    eng.submit(ids, None, max_new_tokens=MAX_NEW)
+t0 = time.perf_counter()
+out = eng.run()
+dt = time.perf_counter() - t0
+total_new = sum(len(v) for v in out.values())
+print(f"{label}: {N_REQ} requests, {total_new} tokens in {dt:.1f}s -> "
+      f"{total_new/dt:.1f} tok/s aggregate, "
+      f"{dt/N_REQ*1e3:.0f} ms/request mean turnaround")
