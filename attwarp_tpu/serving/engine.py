@@ -56,6 +56,25 @@ from attwarp_tpu.numerics.quant import apply_linear, dequantize_kv, quantize_kv
 # ── jitted core ─────────────────────────────────────────────────────────
 
 
+@partial(jax.jit, static_argnames=("cfg", "tcfg", "max_seq", "kv_quant", "with_image"))
+def _prefill(params, cfg, tcfg: LlamaConfig, ids, mask, pixels, max_seq: int,
+             kv_quant: bool, with_image: bool):
+    """One program per length bucket: embed (+ vision splice) -> prefill ->
+    argmax. Must be jitted — calling llama_prefill eagerly dispatches every
+    op separately, which costs seconds per request through the relay."""
+    if with_image:
+        from attwarp_tpu.models.llava import embed_and_splice
+
+        embeds = embed_and_splice(params, cfg, ids, pixels)
+    else:
+        embeds = params["llama"]["embed_tokens"][jnp.clip(ids, 0, None)]
+    logits, block, _ = llama_prefill(
+        params["llama"], tcfg, embeds, mask, max_seq=max_seq,
+        kv_quant=kv_quant,
+    )
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), block
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _insert_dense(cache: LlamaKVCache, block: LlamaKVCache, slot, cfg):
     """Write a single-request prefill cache block (L, 1, Tb, H, D) into
@@ -79,15 +98,39 @@ def _insert_quant(cache: QuantKVCache, block: QuantKVCache, slot, cfg):
     )
 
 
-def _upd_slot(cache_l, new, cur_lens):
-    """Per-slot write: cache_l (B, S, ...) gets new (B, 1, ...) at each
-    slot's own position (vmapped dynamic_update_slice)."""
-    return jax.vmap(
-        lambda c, n, s: jax.lax.dynamic_update_slice_in_dim(c, n, s, axis=0)
-    )(cache_l, new, cur_lens)
+def _upd_slot(cache, new, layer, cur_lens):
+    """Per-slot write into the FULL (L, B, S, ...) cache: one scatter of B
+    rows at (layer, b, cur_lens[b]). Writes only the new slots — never a
+    layer or cache copy (the vmapped-dynamic_update_slice/.at[i].set form
+    rewrote the whole cache per layer per tick, the same pathology the
+    decode step's jnp.stack rework removed)."""
+    B = new.shape[0]
+    return cache.at[layer, jnp.arange(B), cur_lens].set(new[:, 0])
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "k_steps"))
+def _step_chunk(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts,
+                k_steps: int):
+    """Advance every slot ``k_steps`` tokens in ONE dispatch (lax.scan).
+
+    Dispatch latency dominates a per-token host loop (through the remote
+    relay a single short program costs ~200 ms; even locally, jit dispatch
+    per token is the classic serving overhead), so the engine decodes in
+    chunks: finished slots keep generating discarded tokens for the rest of
+    the chunk (≤ k_steps-1 wasted steps per request) and the host truncates
+    at EOS/max_new. Returns (chunk (k_steps, B), kv, cur_lens+k_steps)."""
+
+    def body(carry, _):
+        tokens, kv, cur_lens = carry
+        nxt, kv = _step(params, cfg, tokens, kv, cur_lens, starts)
+        return (nxt, kv, cur_lens + 1), nxt
+
+    (_, kv, cur_lens), chunk = jax.lax.scan(
+        body, (tokens, kv, cur_lens), None, length=k_steps
+    )
+    return chunk, kv, cur_lens
+
+
 def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts):
     """Advance every slot one token.
 
@@ -119,17 +162,17 @@ def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts):
             k1q, k1s = quantize_kv(k1)
             v1q, v1s = quantize_kv(v1)
             new = QuantKVCache(
-                new.k_q.at[i].set(_upd_slot(new.k_q[i], k1q, cur_lens)),
-                new.k_s.at[i].set(_upd_slot(new.k_s[i], k1s, cur_lens)),
-                new.v_q.at[i].set(_upd_slot(new.v_q[i], v1q, cur_lens)),
-                new.v_s.at[i].set(_upd_slot(new.v_s[i], v1s, cur_lens)),
+                _upd_slot(new.k_q, k1q, i, cur_lens),
+                _upd_slot(new.k_s, k1s, i, cur_lens),
+                _upd_slot(new.v_q, v1q, i, cur_lens),
+                _upd_slot(new.v_s, v1s, i, cur_lens),
             )
             k = dequantize_kv(new.k_q[i], new.k_s[i], q.dtype)
             v = dequantize_kv(new.v_q[i], new.v_s[i], q.dtype)
         else:
             new = LlamaKVCache(
-                new.k.at[i].set(_upd_slot(new.k[i], k1.astype(new.k.dtype), cur_lens)),
-                new.v.at[i].set(_upd_slot(new.v[i], v1.astype(new.v.dtype), cur_lens)),
+                _upd_slot(new.k, k1.astype(new.k.dtype), i, cur_lens),
+                _upd_slot(new.v, v1.astype(new.v.dtype), i, cur_lens),
             )
             k = new.k[i]
             v = new.v[i]
@@ -175,7 +218,8 @@ class ServeEngine:
     """
 
     def __init__(self, model, slots: int = 8, max_seq: int = 768,
-                 bucket: int = 64, kv_quant: bool = False):
+                 bucket: int = 64, kv_quant: bool = False,
+                 steps_per_tick: int = 8):
         self.model = model
         self.cfg = model.cfg
         self.tcfg = model.cfg.text
@@ -183,6 +227,9 @@ class ServeEngine:
         self.max_seq = max_seq
         self.bucket = bucket
         self.kv_quant = kv_quant
+        # tokens decoded per dispatch: amortizes jit-dispatch/relay latency
+        # at the cost of ≤ steps_per_tick-1 discarded steps per finished slot
+        self.steps_per_tick = max(1, steps_per_tick)
         if kv_quant:
             self.kv = init_quant_kv_cache(self.tcfg, slots, max_seq)
         else:
@@ -202,9 +249,17 @@ class ServeEngine:
 
     # ── public API ─────────────────────────────────────────────────────
     def submit(self, input_ids, pixel_values=None, max_new_tokens: int = 64) -> int:
+        ids = np.asarray(input_ids).reshape(-1)
+        Tb = -(-len(ids) // self.bucket) * self.bucket
+        need = Tb + max_new_tokens + self.steps_per_tick
+        if need > self.max_seq:
+            raise ValueError(
+                f"prompt bucket {Tb} + max_new {max_new_tokens} (+chunk "
+                f"slack {self.steps_per_tick}) exceeds max_seq {self.max_seq}"
+            )
         rid = self._next_rid
         self._next_rid += 1
-        self.queue.append(Request(rid, np.asarray(input_ids).reshape(-1),
+        self.queue.append(Request(rid, ids,
                                   None if pixel_values is None
                                   else np.asarray(pixel_values),
                                   max_new_tokens))
@@ -243,46 +298,48 @@ class ServeEngine:
         ids[0, pad:] = req.input_ids
         mask = np.zeros((1, Tb), bool)
         mask[0, pad:] = True
-        if req.pixel_values is not None:
-            from attwarp_tpu.models.llava import embed_and_splice
-
-            embeds = embed_and_splice(
-                self.model.params, self.cfg, jnp.asarray(ids),
-                jnp.asarray(req.pixel_values[None], jnp.float32),
-            )
-        else:
-            embeds = self.model.params["llama"]["embed_tokens"][
-                jnp.clip(jnp.asarray(ids), 0, None)
-            ]
-        logits, block, _ = llama_prefill(
-            self.model.params["llama"], self.tcfg, embeds,
-            jnp.asarray(mask), max_seq=Tb, kv_quant=self.kv_quant,
+        with_image = req.pixel_values is not None
+        pixels = (jnp.asarray(req.pixel_values[None], jnp.float32)
+                  if with_image else
+                  jnp.zeros((1, 1, 1, 3), jnp.float32))
+        first, block = _prefill(
+            self.model.params, self.cfg, self.tcfg, jnp.asarray(ids),
+            jnp.asarray(mask), pixels, Tb, self.kv_quant, with_image,
         )
         ins = _insert_quant if self.kv_quant else _insert_dense
         self.kv = ins(self.kv, block, jnp.int32(b), self.tcfg)
-        tok = int(np.asarray(jnp.argmax(logits, axis=-1))[0])
+        tok = int(np.asarray(first)[0])
         self.tokens[b] = tok
         self.cur_lens[b] = Tb       # next write position (after the bucket)
         self.starts[b] = pad        # pad region permanently masked
         return tok
 
     def _tick(self):
-        nxt, self.kv = _step(
+        K = self.steps_per_tick
+        chunk, self.kv, _ = _step_chunk(
             self.model.params["llama"], self.tcfg,
             jnp.asarray(self.tokens), self.kv, jnp.asarray(self.cur_lens),
-            jnp.asarray(self.starts),
+            jnp.asarray(self.starts), K,
         )
-        nxt = np.asarray(nxt)
+        chunk = np.asarray(chunk)              # (K, B)
         for b, slot in enumerate(self._slots):
             if not slot.active:
                 continue
-            self.cur_lens[b] += 1
-            tok = int(nxt[b])
-            slot.generated.append(tok)
-            slot.remaining -= 1
-            self.tokens[b] = tok
-            if tok == self.cfg.eos_token_id or slot.remaining <= 0 \
-                    or self.cur_lens[b] >= self.max_seq - 1:
+            consumed = 0
+            for j in range(K):
+                tok = int(chunk[j, b])
+                slot.generated.append(tok)
+                slot.remaining -= 1
+                consumed = j + 1
+                if tok == self.cfg.eos_token_id or slot.remaining <= 0:
+                    break
+            # device-side cur_lens advanced by K for everyone; the host copy
+            # is authoritative and only counts consumed tokens (retired
+            # slots' extra writes are dead — the next insert masks them out)
+            self.cur_lens[b] += K
+            self.tokens[b] = int(chunk[K - 1, b])
+            if consumed < K or slot.remaining <= 0 \
+                    or self.cur_lens[b] + K >= self.max_seq:
                 self._retire(b)
 
     def _retire(self, b: int):

@@ -69,12 +69,15 @@ def _mk_request(rng, T, n_img=4):
     return ids, pixels
 
 
-@pytest.mark.parametrize("kv_quant", [False, True])
-def test_engine_matches_per_request_generate(model, rng, kv_quant):
+@pytest.mark.parametrize("kv_quant,steps_per_tick", [
+    (False, 1), (False, 4), (True, 4),
+])
+def test_engine_matches_per_request_generate(model, rng, kv_quant, steps_per_tick):
     """More requests than slots, mixed prompt lengths: every request's
-    greedy tokens equal its individual generate (continuous batching does
-    not change any request's math)."""
-    eng = ServeEngine(model, slots=2, max_seq=96, bucket=16, kv_quant=kv_quant)
+    greedy tokens equal its individual generate (continuous batching and
+    chunked decoding do not change any request's math)."""
+    eng = ServeEngine(model, slots=2, max_seq=96, bucket=16,
+                      kv_quant=kv_quant, steps_per_tick=steps_per_tick)
     reqs = []
     for T in (10, 13, 17, 9, 21):
         ids, px = _mk_request(rng, T)
@@ -91,6 +94,13 @@ def test_engine_matches_per_request_generate(model, rng, kv_quant):
             assert len(out[rid]) <= 5
         else:
             assert out[rid] == ref, (rid, out[rid], ref)
+
+
+def test_engine_rejects_oversized_request(model, rng):
+    eng = ServeEngine(model, slots=2, max_seq=48, bucket=16, steps_per_tick=4)
+    ids, px = _mk_request(rng, 17)  # bucket 32 + 20 new + 4 slack > 48
+    with pytest.raises(ValueError, match="max_seq"):
+        eng.submit(ids, px, max_new_tokens=20)
 
 
 def test_engine_slot_reuse_and_capacity(model, rng):
