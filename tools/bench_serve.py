@@ -28,7 +28,7 @@ if KV8:
     MODE = MODE[: -len("+kv8")]
 SLOTS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 N_REQ = int(sys.argv[3]) if len(sys.argv) > 3 else 24
-MAX_NEW = 32
+MAX_NEW = int(sys.argv[4]) if len(sys.argv) > 4 else 32
 
 cfg = LlavaConfig(vision=ClipVisionConfig(), text=LlamaConfig(),
                   image_token_index=32000)
