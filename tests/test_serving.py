@@ -131,6 +131,29 @@ def test_engine_int8_weights(model, rng):
     assert len(out[rid]) <= 4 and all(isinstance(t, int) for t in out[rid])
 
 
+def test_engine_with_tp_sharded_params(model, rng):
+    """The engine's jitted prefill/step consume tensor-parallel-sharded
+    params like every other jitted consumer: same tokens as unsharded."""
+    import jax
+
+    from attwarp_tpu.models import LlavaModel
+    from attwarp_tpu.parallel import make_mesh
+    from attwarp_tpu.parallel.llava_sharding import shard_llava_params
+
+    assert len(jax.devices()) >= 8
+    reqs = [_mk_request(rng, T) for T in (10, 14, 9)]
+
+    def run(m):
+        eng = ServeEngine(m, slots=2, max_seq=64, bucket=16, steps_per_tick=4)
+        rids = [eng.submit(ids, px, max_new_tokens=4) for ids, px in reqs]
+        return [eng.run()[r] for r in rids]
+
+    ref = run(model)
+    mesh = make_mesh(n_data=4, n_model=2)
+    tp = LlavaModel(model.cfg, shard_llava_params(model.params, mesh))
+    assert run(tp) == ref
+
+
 def test_engine_text_only_requests(model, rng):
     """pixel_values=None requests decode pure-text (no vision tower)."""
     eng = ServeEngine(model, slots=2, max_seq=64, bucket=16)
