@@ -86,6 +86,15 @@ def _insert_dense(cache: LlamaKVCache, block: LlamaKVCache, slot, cfg):
     return LlamaKVCache(k, v)
 
 
+@jax.jit
+def _insert_tuple(cache, block, slot):
+    """Dense tuple cache (Qwen2-VL convention): write the prefill block."""
+    return tuple(
+        jax.lax.dynamic_update_slice(c, b.astype(c.dtype), (0, slot, 0, 0, 0))
+        for c, b in zip(cache, block)
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _insert_quant(cache: QuantKVCache, block: QuantKVCache, slot, cfg):
     def ins(big, small):
@@ -190,6 +199,98 @@ def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts):
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), new
 
 
+# ── Qwen2-VL family (M-RoPE; per-slot position deltas) ─────────────────
+
+
+@partial(jax.jit, static_argnames=("cfg", "tcfg", "grid_thw", "max_seq", "kv_quant"))
+def _qwen_prefill(params, cfg, tcfg, ids, mask, patches, positions,
+                  grid_thw, max_seq: int, kv_quant: bool):
+    """Qwen2-VL single-request prefill: vision tower (when patches given) +
+    M-RoPE text prefill. ``positions`` (3, 1, Tb) come from
+    ``get_mrope_positions`` on the host."""
+    from attwarp_tpu.models.qwen2vl import (
+        embed_and_splice as qwen_splice,
+        mrope_cos_sin,
+        qwen2vl_prefill,
+        qwen2vl_vision_features,
+    )
+
+    if grid_thw is not None:
+        feats = qwen2vl_vision_features(
+            params["vision"], cfg.vision, patches, (grid_thw[1], grid_thw[2])
+        )
+        embeds = qwen_splice(params, cfg, ids, feats)
+    else:
+        embeds = params["text"]["embed_tokens"][jnp.clip(ids, 0, None)]
+    cos, sin = mrope_cos_sin(positions, tcfg)
+    logits, block, _ = qwen2vl_prefill(
+        params["text"], tcfg, embeds, mask, cos, sin, max_seq=max_seq,
+        kv_quant=kv_quant,
+    )
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), block
+
+
+@partial(jax.jit, static_argnames=("cfg", "k_steps"))
+def _qwen_step_chunk(params, cfg, tokens, kv, cur_lens, starts, deltas,
+                     k_steps: int):
+    """Chunked Qwen decode: all three M-RoPE streams share the text position
+    ``(cur_len - start) + delta`` per slot (HF get_rope_index semantics for
+    tokens after the prompt)."""
+    from attwarp_tpu.models.qwen2vl import _apply_rope, _attn as _qattn, _mlp, _qkv, mrope_cos_sin
+
+    def one(tokens, kv, cur_lens):
+        B = tokens.shape[0]
+        S = (kv.k_q if isinstance(kv, QuantKVCache) else kv[0]).shape[2]
+        quant = isinstance(kv, QuantKVCache)
+        x = params["text"]["embed_tokens"][tokens][:, None, :]
+        p = (cur_lens - starts + deltas).astype(jnp.int32)       # (B,)
+        pos3 = jnp.broadcast_to(p[None, :, None], (3, B, 1))
+        cos, sin = mrope_cos_sin(pos3, cfg)
+        ar = jnp.arange(S)[None, :]
+        kv_mask = (ar >= starts[:, None]) & (ar <= cur_lens[:, None])
+        new = kv
+        for i, lp in enumerate(params["text"]["layers"]):
+            h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+            q, k1, v1 = _qkv(lp, cfg, h)
+            q, k1 = _apply_rope(q, k1, cos, sin)
+            if quant:
+                k1q, k1s = quantize_kv(k1)
+                v1q, v1s = quantize_kv(v1)
+                new = QuantKVCache(
+                    _upd_slot(new.k_q, k1q, i, cur_lens),
+                    _upd_slot(new.k_s, k1s, i, cur_lens),
+                    _upd_slot(new.v_q, v1q, i, cur_lens),
+                    _upd_slot(new.v_s, v1s, i, cur_lens),
+                )
+                k = dequantize_kv(new.k_q[i], new.k_s[i], q.dtype)
+                v = dequantize_kv(new.v_q[i], new.v_s[i], q.dtype)
+            else:
+                new = (
+                    _upd_slot(new[0], k1.astype(new[0].dtype), i, cur_lens),
+                    _upd_slot(new[1], v1.astype(new[1].dtype), i, cur_lens),
+                )
+                k = new[0][i]
+                v = new[1][i]
+            attn, _ = _qattn(q, k, v, kv_mask[:, None, :], cfg, want_probs=False)
+            x = x + apply_linear(attn, lp["o_proj"])
+            h2 = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+            x = x + _mlp(lp, h2)
+        x = rms_norm(x, params["text"]["norm"], cfg.rms_norm_eps)
+        lm_head = params["text"].get("lm_head", params["text"]["embed_tokens"])
+        logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), new
+
+    def body(carry, _):
+        tokens, kv, cur_lens = carry
+        nxt, kv = one(tokens, kv, cur_lens)
+        return (nxt, kv, cur_lens + 1), nxt
+
+    (_, kv, cur_lens), chunk = jax.lax.scan(
+        body, (tokens, kv, cur_lens), None, length=k_steps
+    )
+    return chunk, kv, cur_lens
+
+
 # ── engine ──────────────────────────────────────────────────────────────
 
 
@@ -230,8 +331,16 @@ class ServeEngine:
         # tokens decoded per dispatch: amortizes jit-dispatch/relay latency
         # at the cost of ≤ steps_per_tick-1 discarded steps per finished slot
         self.steps_per_tick = max(1, steps_per_tick)
+        # second family: Qwen2-VL (M-RoPE positions carry a per-request delta)
+        self.family = ("qwen2vl" if hasattr(model.cfg, "vision_start_token_id")
+                       else "llava")
         if kv_quant:
             self.kv = init_quant_kv_cache(self.tcfg, slots, max_seq)
+        elif self.family == "qwen2vl":
+            t = self.tcfg
+            shape = (t.num_hidden_layers, slots, max_seq, t.kv_heads, t.head_dim)
+            self.kv = (jnp.zeros(shape, self._cache_dtype()),
+                       jnp.zeros(shape, self._cache_dtype()))
         else:
             self.kv = init_kv_cache(self.tcfg, slots, max_seq,
                                     dtype=self._cache_dtype())
@@ -239,12 +348,14 @@ class ServeEngine:
         self.tokens = np.zeros((slots,), np.int32)
         self.cur_lens = np.zeros((slots,), np.int32)
         self.starts = np.zeros((slots,), np.int32)
+        self.deltas = np.zeros((slots,), np.int32)   # qwen M-RoPE deltas
         self.queue: deque = deque()
         self.results: Dict[int, List[int]] = {}
         self._next_rid = 0
 
     def _cache_dtype(self):
-        emb = self.model.params["llama"]["embed_tokens"]
+        lm = self.model.params.get("llama") or self.model.params["text"]
+        emb = lm["embed_tokens"]
         return emb.dtype if hasattr(emb, "dtype") else jnp.float32
 
     # ── public API ─────────────────────────────────────────────────────
@@ -299,15 +410,45 @@ class ServeEngine:
         mask = np.zeros((1, Tb), bool)
         mask[0, pad:] = True
         with_image = req.pixel_values is not None
-        pixels = (jnp.asarray(req.pixel_values[None], jnp.float32)
-                  if with_image else
-                  jnp.zeros((1, 1, 1, 3), jnp.float32))
-        first, block = _prefill(
-            self.model.params, self.cfg, self.tcfg, jnp.asarray(ids),
-            jnp.asarray(mask), pixels, Tb, self.kv_quant, with_image,
-        )
-        ins = _insert_quant if self.kv_quant else _insert_dense
-        self.kv = ins(self.kv, block, jnp.int32(b), self.tcfg)
+        if self.family == "qwen2vl":
+            from attwarp_tpu.models.qwen2vl import (
+                get_mrope_positions,
+                patchify_image,
+            )
+
+            if with_image:
+                patches, grid = patchify_image(req.pixel_values,
+                                               self.cfg.vision)
+                patches = jnp.asarray(patches)
+            else:
+                patches, grid = jnp.zeros((4, 8), jnp.float32), None
+            pos, deltas = get_mrope_positions(
+                ids, mask.astype(np.int64), grid or (1, 2, 2),
+                self.cfg.image_token_id, self.cfg.vision.spatial_merge_size,
+            )
+            first, block = _qwen_prefill(
+                self.model.params, self.cfg, self.tcfg, jnp.asarray(ids),
+                jnp.asarray(mask), patches, jnp.asarray(pos), grid, Tb,
+                self.kv_quant,
+            )
+            # decode positions are (valid_len + generated) + delta_eng with
+            # delta_eng re-based to VALID length (get_mrope_positions returns
+            # it relative to the padded length)
+            self.deltas[b] = int(deltas[0]) + pad
+        else:
+            pixels = (jnp.asarray(req.pixel_values[None], jnp.float32)
+                      if with_image else
+                      jnp.zeros((1, 1, 1, 3), jnp.float32))
+            first, block = _prefill(
+                self.model.params, self.cfg, self.tcfg, jnp.asarray(ids),
+                jnp.asarray(mask), pixels, Tb, self.kv_quant, with_image,
+            )
+        if self.kv_quant:
+            self.kv = _insert_quant(self.kv, block, jnp.int32(b), self.tcfg)
+        elif self.family == "qwen2vl":
+            self.kv = _insert_tuple(self.kv, block, jnp.int32(b))
+        else:
+            self.kv = _insert_dense(self.kv, block, jnp.int32(b), self.tcfg)
         tok = int(np.asarray(first)[0])
         self.tokens[b] = tok
         self.cur_lens[b] = Tb       # next write position (after the bucket)
@@ -316,11 +457,18 @@ class ServeEngine:
 
     def _tick(self):
         K = self.steps_per_tick
-        chunk, self.kv, _ = _step_chunk(
-            self.model.params["llama"], self.tcfg,
-            jnp.asarray(self.tokens), self.kv, jnp.asarray(self.cur_lens),
-            jnp.asarray(self.starts), K,
-        )
+        if self.family == "qwen2vl":
+            chunk, self.kv, _ = _qwen_step_chunk(
+                self.model.params, self.tcfg,
+                jnp.asarray(self.tokens), self.kv, jnp.asarray(self.cur_lens),
+                jnp.asarray(self.starts), jnp.asarray(self.deltas), K,
+            )
+        else:
+            chunk, self.kv, _ = _step_chunk(
+                self.model.params["llama"], self.tcfg,
+                jnp.asarray(self.tokens), self.kv, jnp.asarray(self.cur_lens),
+                jnp.asarray(self.starts), K,
+            )
         chunk = np.asarray(chunk)              # (K, B)
         for b, slot in enumerate(self._slots):
             if not slot.active:
@@ -349,4 +497,5 @@ class ServeEngine:
         slot.rid = -1
         self.cur_lens[b] = 0
         self.starts[b] = 0
+        self.deltas[b] = 0
         self.tokens[b] = 0
