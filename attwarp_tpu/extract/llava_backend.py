@@ -227,24 +227,24 @@ class LlavaBackend:
         return np.asarray(gen), np.asarray(maps)
 
     # ── full extraction (needs tokenizer + image processor) ────────────
-    def _prepare(self, images, questions):
-        """Prompts -> expanded+left-padded ids, mask, CLIP-normalized pixels."""
+    def build_ids(self, question: str) -> List[int]:
+        """One question -> unpadded expanded prompt ids (llava_v1 template,
+        <image> expanded to num_image_tokens ids, HF style)."""
         if self.tokenizer is None:
             raise RuntimeError(
-                "LlavaBackend.extract needs a tokenizer; load via from_hf or "
+                "LlavaBackend needs a tokenizer; load via from_hf or "
                 "use extract_from_ids."
             )
-        prompts = [build_prompt(q, "llava_v1") for q in questions]
-        ids_list = []
-        for p in prompts:
-            # expand <image> into num_image_tokens image-token ids (HF style)
-            pre, post = p.split("<image>")
-            ids = (
-                self.tokenizer(pre, add_special_tokens=True)["input_ids"]
-                + [self.model.cfg.image_token_index] * self.model.cfg.num_image_tokens
-                + self.tokenizer(post, add_special_tokens=False)["input_ids"]
-            )
-            ids_list.append(ids)
+        pre, post = build_prompt(question, "llava_v1").split("<image>")
+        return (
+            self.tokenizer(pre, add_special_tokens=True)["input_ids"]
+            + [self.model.cfg.image_token_index] * self.model.cfg.num_image_tokens
+            + self.tokenizer(post, add_special_tokens=False)["input_ids"]
+        )
+
+    def _prepare(self, images, questions):
+        """Prompts -> expanded+left-padded ids, mask, CLIP-normalized pixels."""
+        ids_list = [self.build_ids(q) for q in questions]
         from attwarp_tpu.extract.offsets import left_pad
 
         # bucketed padding: one compilation per 64-token length bucket

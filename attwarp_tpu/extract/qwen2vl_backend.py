@@ -212,35 +212,38 @@ class Qwen2VLBackend:
         return np.asarray(gen), np.asarray(maps)
 
     # ── text-level extraction (needs a tokenizer) ───────────────────────
-    def _prepare(self, images, questions):
-        """Chat prompts -> expanded+left-padded ids, mask, normalized images."""
+    def build_ids(self, question: str) -> List[int]:
+        """One question -> unpadded expanded prompt ids (Qwen chat template:
+        system turn, then the vision block inside the user turn bounded by
+        <|vision_start|>/<|vision_end|>)."""
         if self.tokenizer is None:
-            raise RuntimeError("Qwen2VLBackend.extract needs a tokenizer "
+            raise RuntimeError("Qwen2VLBackend needs a tokenizer "
                                "(from_hf); use extract_from_ids otherwise")
         cfg = self.model.cfg
         n_tok = self.num_patches_side ** 2
-        from attwarp_tpu.extract.offsets import left_pad
-
-        # Qwen2-VL chat template: system turn, then the vision block INSIDE
-        # the user turn bounded by <|vision_start|>/<|vision_end|>
         prefix_ids = self.tokenizer(
             "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
             "<|im_start|>user\n",
             add_special_tokens=False,
         )["input_ids"]
-        ids_list = []
-        for q in questions:
-            suffix_ids = self.tokenizer(
-                f"{q}<|im_end|>\n<|im_start|>assistant\n",
-                add_special_tokens=False,
-            )["input_ids"]
-            ids_list.append(
-                prefix_ids
-                + [cfg.vision_start_token_id]
-                + [cfg.image_token_id] * n_tok
-                + [cfg.vision_end_token_id]
-                + suffix_ids
-            )
+        suffix_ids = self.tokenizer(
+            f"{question}<|im_end|>\n<|im_start|>assistant\n",
+            add_special_tokens=False,
+        )["input_ids"]
+        return (
+            prefix_ids
+            + [cfg.vision_start_token_id]
+            + [cfg.image_token_id] * n_tok
+            + [cfg.vision_end_token_id]
+            + suffix_ids
+        )
+
+    def _prepare(self, images, questions):
+        """Chat prompts -> expanded+left-padded ids, mask, normalized images."""
+        cfg = self.model.cfg
+        from attwarp_tpu.extract.offsets import left_pad
+
+        ids_list = [self.build_ids(q) for q in questions]
         padded, mask = left_pad(ids_list, pad_id=cfg.pad_token_id, bucket=64)
         imgs = np.stack([self._preprocess(images[b]) for b in range(len(images))])
         return np.asarray(padded), np.asarray(mask), imgs

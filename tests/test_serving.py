@@ -220,6 +220,45 @@ def test_qwen_engine_matches_per_request_generate(qwen_model, rng, kv_quant):
             assert out[rid] == ref, (rid, out[rid], ref)
 
 
+def test_serve_cli_end_to_end(model, rng, tmp_path):
+    """cli.serve: backend checkpoint -> requests JSONL -> answers JSONL."""
+    import json
+
+    from PIL import Image
+
+    from attwarp_tpu.extract.llava_backend import LlavaBackend
+    from attwarp_tpu.cli.serve import main as serve_main
+
+    be = LlavaBackend(model)
+    be.save(tmp_path / "ckpt")
+
+    img = tmp_path / "im.png"
+    Image.fromarray((rng.random((40, 48, 3)) * 255).astype(np.uint8)).save(img)
+    # ids-level requests: no tokenizer needed on the reloaded checkpoint
+    ids1 = rng.integers(3, 90, size=(12,)).tolist()
+    ids1[2:6] = [IMG_TOKEN] * 4
+    ids2 = rng.integers(3, 90, size=(9,)).tolist()
+    reqs = tmp_path / "reqs.jsonl"
+    with open(reqs, "w") as f:
+        f.write(json.dumps({"image_path": str(img), "input_ids": ids1}) + "\n")
+        f.write(json.dumps({"input_ids": ids2}) + "\n")
+
+    out = tmp_path / "answers.jsonl"
+    rc = serve_main([
+        "--backend", f"llava-ckpt:{tmp_path / 'ckpt'}",
+        "--jsonl", str(reqs), "--output", str(out),
+        "--slots", "2", "--max-seq", "768", "--max-new-tokens", "4",
+        "--steps-per-tick", "2",
+    ])
+    assert rc == 0
+    rows = [json.loads(l) for l in open(out)]
+    assert len(rows) == 2
+    for r in rows:
+        assert 1 <= len(r["tokens"]) <= 4
+        # ckpt reload has no tokenizer -> answer None, tokens still present
+        assert r["answer"] is None or isinstance(r["answer"], str)
+
+
 def test_engine_text_only_requests(model, rng):
     """pixel_values=None requests decode pure-text (no vision tower)."""
     eng = ServeEngine(model, slots=2, max_seq=64, bucket=16)
