@@ -25,6 +25,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--score-original", action="store_true",
                    help="also score the unwarped images and report the "
                         "warped-vs-original accuracy delta")
+    p.add_argument("--batch-size", type=int, default=1,
+                   help=">1 answers samples in batched prefill+decode calls "
+                        "(real backends) — same scores, higher throughput")
+    p.add_argument("--serve-slots", type=int, default=0,
+                   help=">0 answers through the continuous-batching "
+                        "ServeEngine with this many slots (real backends "
+                        "with a tokenizer; implies batching)")
     return p
 
 
@@ -32,14 +39,23 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from attwarp_tpu.cli.process_dataset import make_backend
     from attwarp_tpu.eval.harness import (
+        EngineAnswerBackend,
         ExtractionAnswerBackend,
         evaluate_textvqa_accuracy,
     )
 
-    backend = ExtractionAnswerBackend(
-        make_backend(args.model, layer_index=args.layer_index),
-        max_new_tokens=args.max_new_tokens,
-    )
+    inner = make_backend(args.model, layer_index=args.layer_index)
+    batch = args.batch_size
+    if args.serve_slots > 0:
+        backend = EngineAnswerBackend(
+            inner, slots=args.serve_slots,
+            max_new_tokens=args.max_new_tokens,
+        )
+        batch = max(batch, 4 * args.serve_slots)  # keep the slot pool fed
+    else:
+        backend = ExtractionAnswerBackend(
+            inner, max_new_tokens=args.max_new_tokens,
+        )
     res = evaluate_textvqa_accuracy(
         args.metadata_dir,
         args.output_dir,
@@ -48,6 +64,7 @@ def main(argv=None) -> int:
         max_new_tokens=args.max_new_tokens,
         limit=args.limit,
         score_original=args.score_original,
+        batch_size=batch,
     )
     print(
         f"Overall Warped Accuracy: {res['overall_warped_accuracy']:.4f} "

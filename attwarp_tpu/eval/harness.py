@@ -52,6 +52,67 @@ class ExtractionAnswerBackend:
         _maps, texts = self.backend.extract(img[None], [q], max_new_tokens=mnt)
         return texts[0]
 
+    def answer_many(self, images, questions, max_new_tokens: Optional[int] = None) -> List[str]:
+        """Batched answering when the inner backend supports it — the
+        harness buffers samples and answers a chunk in ONE prefill+decode
+        instead of a call per sample."""
+        from attwarp_tpu.extract.extraction import _resize_for_backend
+
+        if not hasattr(self.backend, "answer_batch"):
+            return [self.answer(im, q, max_new_tokens)
+                    for im, q in zip(images, questions)]
+        mnt = max_new_tokens or self.max_new_tokens
+        imgs = np.stack([
+            _resize_for_backend(im, self.backend.image_size) for im in images
+        ])
+        qs = [q + ANSWER_SUFFIX for q in questions]
+        return self.backend.answer_batch(imgs, qs, max_new_tokens=mnt)
+
+
+class EngineAnswerBackend:
+    """Answer through the continuous-batching ServeEngine: every buffered
+    sample becomes a request, the slot pool decodes them concurrently —
+    the eval harness's high-throughput path (the reference harness answers
+    strictly one sample at a time, evaluate_accuracy.py:329-349)."""
+
+    def __init__(self, backend, slots: int = 8, max_seq: int = 768,
+                 max_new_tokens: int = 64, steps_per_tick: int = 8):
+        from attwarp_tpu.serving import ServeEngine
+
+        self.backend = backend
+        self.max_new_tokens = max_new_tokens
+        self.engine = ServeEngine(
+            backend.model, slots=slots, max_seq=max_seq,
+            kv_quant=bool(getattr(backend, "kv_quant", False)),
+            steps_per_tick=steps_per_tick,
+        )
+
+    def _decode(self, toks) -> str:
+        if toks and toks[-1] == self.backend.model.cfg.eos_token_id:
+            toks = toks[:-1]
+        return self.backend.tokenizer.decode(
+            toks, skip_special_tokens=True
+        ).strip()
+
+    def answer(self, image_rgb, question, max_new_tokens=None) -> str:
+        return self.answer_many([image_rgb], [question], max_new_tokens)[0]
+
+    def answer_many(self, images, questions, max_new_tokens=None) -> List[str]:
+        from attwarp_tpu.extract.extraction import _resize_for_backend
+
+        mnt = max_new_tokens or self.max_new_tokens
+        rids = []
+        for im, q in zip(images, questions):
+            ids = np.asarray(
+                self.backend.build_ids(q + ANSWER_SUFFIX), np.int64
+            )
+            px = self.backend._preprocess(
+                _resize_for_backend(im, self.backend.image_size)
+            )
+            rids.append(self.engine.submit(ids, px, max_new_tokens=mnt))
+        results = self.engine.run()
+        return [self._decode(results[r]) for r in rids]
+
 
 def evaluate_textvqa_accuracy(
     metadata_dir: str,
@@ -61,7 +122,12 @@ def evaluate_textvqa_accuracy(
     max_new_tokens: int = 64,
     limit: Optional[int] = None,
     score_original: bool = False,
+    batch_size: int = 1,
 ) -> Dict:
+    """``batch_size > 1`` buffers samples and answers each chunk through
+    ``backend.answer_many`` (one batched prefill+decode — or the serving
+    engine via ``EngineAnswerBackend``) instead of a call per sample; scores
+    and artifacts are identical, produced in the same order."""
     os.makedirs(output_dir, exist_ok=True)
     ts = time.strftime("%Y%m%d_%H%M%S")
     moving_avg_log = os.path.join(output_dir, f"textvqa_moving_accuracy_{ts}.csv")
@@ -90,6 +156,105 @@ def evaluate_textvqa_accuracy(
     detailed: List[Dict] = []
     counter = 0
 
+    batch_n = batch_size if (batch_size > 1 and hasattr(backend, "answer_many")) else 1
+    pending: List[Dict] = []
+
+    def _score_one(p, raw, oraw):
+        nonlocal counter
+        if raw is None:
+            return
+        sample_id, question, gts = p["sample_id"], p["question"], p["gts"]
+        correct = calculate_vqa_accuracy(raw.strip(), gts, threshold=1)
+        record = {
+            "sample_id": sample_id,
+            "question": question,
+            "ground_truth_answers": gts,
+            "warped_answer": raw,
+            "warped_correct": bool(correct),
+        }
+        # the paper's claim is the warped-vs-original DELTA: optionally
+        # score the unwarped image too (the reference harness only
+        # scored warped; the original baseline ran as a separate job)
+        if oraw is not None:
+            ocorrect = calculate_vqa_accuracy(oraw.strip(), gts, threshold=1)
+            overall["original"]["total"] += 1
+            overall["original"]["correct"] += int(ocorrect)
+            record["original_answer"] = oraw
+            record["original_correct"] = bool(ocorrect)
+
+        overall["warped"]["total"] += 1
+        overall["warped"]["correct"] += int(correct)
+        counter += 1
+        detailed.append(record)
+
+        tot = overall["warped"]["total"]
+        cor = overall["warped"]["correct"]
+        with open(detailed_log, "a", encoding="utf-8") as f:
+            f.write("\n" + "=" * 80 + "\n")
+            f.write(f"SAMPLE: {sample_id} - {time.strftime('%Y-%m-%d %H:%M:%S')}\n")
+            f.write("-" * 80 + "\n")
+            f.write(f"QUESTION: {question}\n\n")
+            f.write(f"GROUND TRUTH ANSWERS: {gts}\n\n")
+            f.write(f"WARPED IMAGE ANSWER:   {raw} (Correct: {correct})\n\n")
+            f.write("CURRENT OVERALL STATS:\n")
+            f.write(f"  Warped accuracy:   {cor / max(1, tot):.4f} ({cor}/{tot})\n")
+
+        if counter % 10 == 0:
+            exists = os.path.exists(moving_avg_log)
+            with open(moving_avg_log, "a") as f:
+                if not exists:
+                    f.write("Timestamp,Iteration,Total_Samples,Warped_Accuracy\n")
+                f.write(
+                    f"{time.strftime('%Y-%m-%d %H:%M:%S')},{counter},{tot},"
+                    f"{cor / max(1, tot):.4f}\n"
+                )
+        if counter % 100 == 0:
+            interim = {
+                "model": model_name,
+                "overall_warped_accuracy": cor / max(1, tot),
+                "total_samples_processed": tot,
+                "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+            }
+            with open(
+                os.path.join(output_dir, f"textvqa_interim_results_{ts}_{counter}.json"),
+                "w",
+            ) as f:
+                json.dump(interim, f, indent=2)
+
+    def _flush():
+        if not pending:
+            return
+        try:
+            if batch_n > 1:
+                answers = backend.answer_many(
+                    [p["img"] for p in pending],
+                    [p["question"] for p in pending], max_new_tokens,
+                )
+            else:
+                answers = [backend.answer(p["img"], p["question"], max_new_tokens)
+                           for p in pending]
+            oanswers = [None] * len(pending)
+            if score_original:
+                have = [i for i, p in enumerate(pending) if p["oimg"] is not None]
+                if have:
+                    if batch_n > 1:
+                        outs = backend.answer_many(
+                            [pending[i]["oimg"] for i in have],
+                            [pending[i]["question"] for i in have],
+                            max_new_tokens,
+                        )
+                    else:
+                        outs = [backend.answer(pending[i]["oimg"],
+                                               pending[i]["question"],
+                                               max_new_tokens) for i in have]
+                    for i, o in zip(have, outs):
+                        oanswers[i] = o
+            for p, raw, oraw in zip(pending, answers, oanswers):
+                _score_one(p, raw, oraw)
+        except Exception as e:
+            print(f"Error answering batch of {len(pending)}: {e}. Skipping.")
+        pending.clear()
+
     for path in files:
         try:
             with open(path, "r", encoding="utf-8") as f:
@@ -103,83 +268,27 @@ def evaluate_textvqa_accuracy(
                 continue
             if not warped_path or not os.path.exists(warped_path):
                 continue
-            gts = [str(g).strip() for g in gts]
-
             with Image.open(warped_path) as im:
                 img = np.asarray(im.convert("RGB"))
-            raw = backend.answer(img, question, max_new_tokens)
-            if raw is None:
-                continue
-            pred = raw.strip()
-            correct = calculate_vqa_accuracy(pred, gts, threshold=1)
-
-            record = {
-                "sample_id": sample_id,
-                "question": question,
-                "ground_truth_answers": gts,
-                "warped_answer": raw,
-                "warped_correct": bool(correct),
-            }
-
-            # the paper's claim is the warped-vs-original DELTA: optionally
-            # score the unwarped image too (the reference harness only
-            # scored warped; the original baseline ran as a separate job)
+            oimg = None
             if score_original:
                 orig_path = saved.get("original_image")
                 if orig_path and os.path.exists(orig_path):
                     with Image.open(orig_path) as im:
                         oimg = np.asarray(im.convert("RGB"))
-                    oraw = backend.answer(oimg, question, max_new_tokens)
-                    if oraw is not None:
-                        ocorrect = calculate_vqa_accuracy(
-                            oraw.strip(), gts, threshold=1
-                        )
-                        overall["original"]["total"] += 1
-                        overall["original"]["correct"] += int(ocorrect)
-                        record["original_answer"] = oraw
-                        record["original_correct"] = bool(ocorrect)
-
-            overall["warped"]["total"] += 1
-            overall["warped"]["correct"] += int(correct)
-            counter += 1
-            detailed.append(record)
-
-            tot = overall["warped"]["total"]
-            cor = overall["warped"]["correct"]
-            with open(detailed_log, "a", encoding="utf-8") as f:
-                f.write("\n" + "=" * 80 + "\n")
-                f.write(f"SAMPLE: {sample_id} - {time.strftime('%Y-%m-%d %H:%M:%S')}\n")
-                f.write("-" * 80 + "\n")
-                f.write(f"QUESTION: {question}\n\n")
-                f.write(f"GROUND TRUTH ANSWERS: {gts}\n\n")
-                f.write(f"WARPED IMAGE ANSWER:   {raw} (Correct: {correct})\n\n")
-                f.write("CURRENT OVERALL STATS:\n")
-                f.write(f"  Warped accuracy:   {cor / max(1, tot):.4f} ({cor}/{tot})\n")
-
-            if counter % 10 == 0:
-                exists = os.path.exists(moving_avg_log)
-                with open(moving_avg_log, "a") as f:
-                    if not exists:
-                        f.write("Timestamp,Iteration,Total_Samples,Warped_Accuracy\n")
-                    f.write(
-                        f"{time.strftime('%Y-%m-%d %H:%M:%S')},{counter},{tot},"
-                        f"{cor / max(1, tot):.4f}\n"
-                    )
-            if counter % 100 == 0:
-                interim = {
-                    "model": model_name,
-                    "overall_warped_accuracy": cor / max(1, tot),
-                    "total_samples_processed": tot,
-                    "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
-                }
-                with open(
-                    os.path.join(output_dir, f"textvqa_interim_results_{ts}_{counter}.json"),
-                    "w",
-                ) as f:
-                    json.dump(interim, f, indent=2)
+            pending.append({
+                "sample_id": sample_id,
+                "question": question,
+                "gts": [str(g).strip() for g in gts],
+                "img": img,
+                "oimg": oimg,
+            })
+            if len(pending) >= batch_n:
+                _flush()
         except Exception as e:
             print(f"Error processing {path}: {e}. Skipping.")
             continue
+    _flush()
 
     tot = overall["warped"]["total"]
     cor = overall["warped"]["correct"]

@@ -76,3 +76,79 @@ def test_end_to_end_accuracy_gain(tmp_path):
     assert res["overall_original_accuracy"] <= 1 / 6  # unreadable unwarped
     assert res["overall_warped_accuracy"] >= 4 / 6
     assert res["accuracy_gain"] > 0
+
+    # batched answering (batch_size>1 buffers + answer_many) must reproduce
+    # the sequential run exactly — same scores, same per-sample records
+    res_b = evaluate_textvqa_accuracy(
+        str(tmp_path / "processed" / "metadata"),
+        str(tmp_path / "eval_batched"),
+        ExtractionAnswerBackend(backend),
+        score_original=True,
+        batch_size=4,
+    )
+    assert res_b["overall_warped_accuracy"] == res["overall_warped_accuracy"]
+    assert res_b["accuracy_gain"] == res["accuracy_gain"]
+    a = [(r["sample_id"], r["warped_answer"]) for r in res["detailed_results"]]
+    b = [(r["sample_id"], r["warped_answer"]) for r in res_b["detailed_results"]]
+    assert a == b
+
+
+def test_engine_answer_backend_matches_extraction(tmp_path, rng):
+    """EngineAnswerBackend (continuous-batching eval answering) produces the
+    same answers as the per-sample extraction path on a real tiny LLaVA."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from transformers import (
+        CLIPVisionConfig,
+        LlamaConfig as HFLlamaConfig,
+        LlavaConfig as HFLlavaConfig,
+        LlavaForConditionalGeneration,
+    )
+
+    from attwarp_tpu.extract.llava_backend import LlavaBackend
+    from attwarp_tpu.models import LlavaModel, port_hf_llava_weights
+    from attwarp_tpu.eval.harness import (
+        EngineAnswerBackend,
+        ExtractionAnswerBackend,
+    )
+
+    torch.manual_seed(0)
+    hf = LlavaForConditionalGeneration(
+        HFLlavaConfig(
+            vision_config=CLIPVisionConfig(
+                hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                num_attention_heads=2, image_size=28, patch_size=14,
+            ),
+            text_config=HFLlamaConfig(
+                vocab_size=128, hidden_size=48, intermediate_size=96,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2,
+            ),
+            image_token_index=99,
+            vision_feature_layer=-2,
+        )
+    ).eval()
+    cfg = LlavaBackend.config_from_hf(hf.config)
+
+    class _WordTok:
+        def __call__(self, text, add_special_tokens=False):
+            return {"input_ids": [3 + (hash(w) % 90) for w in text.split()]}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(f"t{int(i)}" for i in ids)
+
+    be = LlavaBackend(
+        LlavaModel(cfg, port_hf_llava_weights(hf.state_dict(), cfg)),
+        tokenizer=_WordTok(),
+    )
+    imgs = [rng.random((40, 44, 3)).astype(np.float32) for _ in range(4)]
+    qs = ["what is shown here", "read the label", "what color is it",
+          "how many objects"]
+    seq = ExtractionAnswerBackend(be, max_new_tokens=4)
+    eng = EngineAnswerBackend(be, slots=2, max_seq=96, max_new_tokens=4,
+                              steps_per_tick=2)
+    a = seq.answer_many(imgs, qs, 4)
+    b = eng.answer_many(imgs, qs, 4)
+    assert a == b, (a, b)
+    assert eng.answer(imgs[0], qs[0], 4) == a[0]
