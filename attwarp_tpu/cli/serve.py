@@ -39,6 +39,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-seq", type=int, default=768)
     p.add_argument("--max-new-tokens", type=int, default=64)
     p.add_argument("--steps-per-tick", type=int, default=8)
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="0 = greedy; >0 samples (per-request 'temperature' "
+                        "fields in the JSONL override)")
+    p.add_argument("--top-k", type=int, default=0,
+                   help="truncate sampling to the k most likely tokens")
+    p.add_argument("--seed", type=int, default=0,
+                   help="sampling seed (per-request keys derive from it)")
     p.add_argument("--limit", type=int, default=None)
     return p
 
@@ -56,6 +63,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     engine = ServeEngine(
         backend.model, slots=args.slots, max_seq=args.max_seq,
         kv_quant=kv_quant, steps_per_tick=args.steps_per_tick,
+        top_k=args.top_k, seed=args.seed,
     )
 
     requests = []
@@ -80,7 +88,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         if req.get("image_path"):
             with Image.open(req["image_path"]) as im:
                 pixels = backend._preprocess(np.asarray(im.convert("RGB")))
-        rid = engine.submit(ids, pixels, max_new_tokens=args.max_new_tokens)
+        rid = engine.submit(
+            ids, pixels, max_new_tokens=args.max_new_tokens,
+            temperature=float(req.get("temperature", args.temperature)),
+        )
         rid_to_req[rid] = req
     results = engine.run()
     dt = time.time() - t0

@@ -107,6 +107,24 @@ def _insert_quant(cache: QuantKVCache, block: QuantKVCache, slot, cfg):
     )
 
 
+def _sample_tokens(logits, keys, temps, top_k: int):
+    """Per-slot token choice: greedy where ``temps[b] == 0``, else
+    temperature (optionally top-k-truncated) sampling with that slot's own
+    PRNG key. Returns (tokens (B,), new keys (B, 2))."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def one(logit, key, temp):
+        key, sub = jax.random.split(key)
+        scaled = logit / jnp.maximum(temp, 1e-6)
+        if top_k > 0:
+            kth = jax.lax.top_k(scaled, top_k)[0][-1]
+            scaled = jnp.where(scaled >= kth, scaled, -jnp.inf)
+        return jax.random.categorical(sub, scaled).astype(jnp.int32), key
+
+    sampled, new_keys = jax.vmap(one)(logits, keys, temps)
+    return jnp.where(temps > 0, sampled, greedy), new_keys
+
+
 def _upd_slot(cache, new, layer, cur_lens):
     """Per-slot write into the FULL (L, B, S, ...) cache: one scatter of B
     rows at (layer, b, cur_lens[b]). Writes only the new slots — never a
@@ -117,9 +135,9 @@ def _upd_slot(cache, new, layer, cur_lens):
     return cache.at[layer, jnp.arange(B), cur_lens].set(new[:, 0])
 
 
-@partial(jax.jit, static_argnames=("cfg", "k_steps"))
+@partial(jax.jit, static_argnames=("cfg", "k_steps", "top_k"))
 def _step_chunk(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts,
-                k_steps: int):
+                keys, temps, k_steps: int, top_k: int = 0):
     """Advance every slot ``k_steps`` tokens in ONE dispatch (lax.scan).
 
     Dispatch latency dominates a per-token host loop (through the remote
@@ -127,17 +145,20 @@ def _step_chunk(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts,
     per token is the classic serving overhead), so the engine decodes in
     chunks: finished slots keep generating discarded tokens for the rest of
     the chunk (≤ k_steps-1 wasted steps per request) and the host truncates
-    at EOS/max_new. Returns (chunk (k_steps, B), kv, cur_lens+k_steps)."""
+    at EOS/max_new. Token choice is per-slot greedy or temperature/top-k
+    sampling (``_sample_tokens``). Returns (chunk (k_steps, B), kv,
+    cur_lens+k_steps, keys)."""
 
     def body(carry, _):
-        tokens, kv, cur_lens = carry
-        nxt, kv = _step(params, cfg, tokens, kv, cur_lens, starts)
-        return (nxt, kv, cur_lens + 1), nxt
+        tokens, kv, cur_lens, keys = carry
+        logits, kv = _step(params, cfg, tokens, kv, cur_lens, starts)
+        nxt, keys = _sample_tokens(logits, keys, temps, top_k)
+        return (nxt, kv, cur_lens + 1, keys), nxt
 
-    (_, kv, cur_lens), chunk = jax.lax.scan(
-        body, (tokens, kv, cur_lens), None, length=k_steps
+    (_, kv, cur_lens, keys), chunk = jax.lax.scan(
+        body, (tokens, kv, cur_lens, keys), None, length=k_steps
     )
-    return chunk, kv, cur_lens
+    return chunk, kv, cur_lens, keys
 
 
 def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts):
@@ -196,7 +217,7 @@ def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts):
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed_tokens"])
     logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
-    return jnp.argmax(logits, axis=-1).astype(jnp.int32), new
+    return logits, new
 
 
 # ── Qwen2-VL family (M-RoPE; per-slot position deltas) ─────────────────
@@ -230,9 +251,9 @@ def _qwen_prefill(params, cfg, tcfg, ids, mask, patches, positions,
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), block
 
 
-@partial(jax.jit, static_argnames=("cfg", "k_steps"))
+@partial(jax.jit, static_argnames=("cfg", "k_steps", "top_k"))
 def _qwen_step_chunk(params, cfg, tokens, kv, cur_lens, starts, deltas,
-                     k_steps: int):
+                     keys, temps, k_steps: int, top_k: int = 0):
     """Chunked Qwen decode: all three M-RoPE streams share the text position
     ``(cur_len - start) + delta`` per slot (HF get_rope_index semantics for
     tokens after the prompt)."""
@@ -278,17 +299,18 @@ def _qwen_step_chunk(params, cfg, tokens, kv, cur_lens, starts, deltas,
         x = rms_norm(x, params["text"]["norm"], cfg.rms_norm_eps)
         lm_head = params["text"].get("lm_head", params["text"]["embed_tokens"])
         logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32), new
+        return logits, new
 
     def body(carry, _):
-        tokens, kv, cur_lens = carry
-        nxt, kv = one(tokens, kv, cur_lens)
-        return (nxt, kv, cur_lens + 1), nxt
+        tokens, kv, cur_lens, keys = carry
+        logits, kv = one(tokens, kv, cur_lens)
+        nxt, keys = _sample_tokens(logits, keys, temps, top_k)
+        return (nxt, kv, cur_lens + 1, keys), nxt
 
-    (_, kv, cur_lens), chunk = jax.lax.scan(
-        body, (tokens, kv, cur_lens), None, length=k_steps
+    (_, kv, cur_lens, keys), chunk = jax.lax.scan(
+        body, (tokens, kv, cur_lens, keys), None, length=k_steps
     )
-    return chunk, kv, cur_lens
+    return chunk, kv, cur_lens, keys
 
 
 # ── engine ──────────────────────────────────────────────────────────────
@@ -300,6 +322,7 @@ class Request:
     input_ids: np.ndarray            # (T,) expanded image tokens (LLaVA)
     pixel_values: Optional[np.ndarray] = None   # (S, S, 3) or None (text-only)
     max_new_tokens: int = 64
+    temperature: float = 0.0         # 0 = greedy
 
 
 @dataclass
@@ -320,7 +343,7 @@ class ServeEngine:
 
     def __init__(self, model, slots: int = 8, max_seq: int = 768,
                  bucket: int = 64, kv_quant: bool = False,
-                 steps_per_tick: int = 8):
+                 steps_per_tick: int = 8, top_k: int = 0, seed: int = 0):
         self.model = model
         self.cfg = model.cfg
         self.tcfg = model.cfg.text
@@ -349,6 +372,12 @@ class ServeEngine:
         self.cur_lens = np.zeros((slots,), np.int32)
         self.starts = np.zeros((slots,), np.int32)
         self.deltas = np.zeros((slots,), np.int32)   # qwen M-RoPE deltas
+        # per-slot sampling state: 0 temperature = greedy; each request gets
+        # a reproducible key (fold_in(seed, rid))
+        self.top_k = top_k
+        self._base_key = jax.random.PRNGKey(seed)
+        self.temps = np.zeros((slots,), np.float32)
+        self.keys = np.zeros((slots, 2), np.uint32)
         self.queue: deque = deque()
         self.results: Dict[int, List[int]] = {}
         self._next_rid = 0
@@ -359,7 +388,8 @@ class ServeEngine:
         return emb.dtype if hasattr(emb, "dtype") else jnp.float32
 
     # ── public API ─────────────────────────────────────────────────────
-    def submit(self, input_ids, pixel_values=None, max_new_tokens: int = 64) -> int:
+    def submit(self, input_ids, pixel_values=None, max_new_tokens: int = 64,
+               temperature: float = 0.0) -> int:
         ids = np.asarray(input_ids).reshape(-1)
         Tb = -(-len(ids) // self.bucket) * self.bucket
         need = Tb + max_new_tokens + self.steps_per_tick
@@ -373,7 +403,7 @@ class ServeEngine:
         self.queue.append(Request(rid, ids,
                                   None if pixel_values is None
                                   else np.asarray(pixel_values),
-                                  max_new_tokens))
+                                  max_new_tokens, float(temperature)))
         return rid
 
     def run(self) -> Dict[int, List[int]]:
@@ -392,6 +422,10 @@ class ServeEngine:
             req = self.queue.popleft()
             first = self._prefill_into(b, req)
             slot.rid = req.rid
+            self.temps[b] = req.temperature
+            self.keys[b] = np.asarray(
+                jax.random.fold_in(self._base_key, req.rid), np.uint32
+            )
             slot.generated = [int(first)]
             slot.remaining = req.max_new_tokens - 1
             slot.active = True
@@ -458,17 +492,22 @@ class ServeEngine:
     def _tick(self):
         K = self.steps_per_tick
         if self.family == "qwen2vl":
-            chunk, self.kv, _ = _qwen_step_chunk(
+            chunk, self.kv, _, keys = _qwen_step_chunk(
                 self.model.params, self.tcfg,
                 jnp.asarray(self.tokens), self.kv, jnp.asarray(self.cur_lens),
-                jnp.asarray(self.starts), jnp.asarray(self.deltas), K,
+                jnp.asarray(self.starts), jnp.asarray(self.deltas),
+                jnp.asarray(self.keys), jnp.asarray(self.temps), K,
+                self.top_k,
             )
+            self.keys = np.array(keys)  # writable host copy
         else:
-            chunk, self.kv, _ = _step_chunk(
+            chunk, self.kv, _, keys = _step_chunk(
                 self.model.params["llama"], self.tcfg,
                 jnp.asarray(self.tokens), self.kv, jnp.asarray(self.cur_lens),
-                jnp.asarray(self.starts), K,
+                jnp.asarray(self.starts), jnp.asarray(self.keys),
+                jnp.asarray(self.temps), K, self.top_k,
             )
+            self.keys = np.array(keys)  # writable host copy
         chunk = np.asarray(chunk)              # (K, B)
         for b, slot in enumerate(self._slots):
             if not slot.active:
@@ -498,4 +537,5 @@ class ServeEngine:
         self.cur_lens[b] = 0
         self.starts[b] = 0
         self.deltas[b] = 0
+        self.temps[b] = 0.0
         self.tokens[b] = 0

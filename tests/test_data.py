@@ -227,6 +227,34 @@ def test_make_batch_iterator_selection(tmp_path, rng):
         make_batch_iterator(ds, idx, 4, pipeline="torch")
 
 
+def test_progress_manifest_thread_safety(tmp_path):
+    """Race detection for the driver's resume manifest: concurrent mark()
+    from the producer thread and save() from the writer thread (the
+    process_dataset layout) must lose no updates and persist a consistent
+    count (the unlocked version dropped increments under contention)."""
+    import threading
+
+    p = str(tmp_path / "progress.json")
+    m = ProgressManifest(p)
+    N, T = 200, 4
+
+    def worker(t):
+        for i in range(t, N, T):
+            m.mark(i, failed=(i % 7 == 0))
+            if i % 13 == 0:
+                m.save()
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(T)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    m.save()
+    re = ProgressManifest(p)
+    assert re.processed_count + re.failed_count == N
+    assert re.remaining(N) == []
+
+
 def test_progress_manifest_roundtrip(tmp_path):
     p = str(tmp_path / "progress.json")
     m = ProgressManifest(p)

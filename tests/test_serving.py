@@ -259,6 +259,34 @@ def test_serve_cli_end_to_end(model, rng, tmp_path):
         assert r["answer"] is None or isinstance(r["answer"], str)
 
 
+def test_engine_temperature_sampling(model, rng):
+    """temperature>0 samples with a per-request reproducible key: two engine
+    runs give identical tokens (seeded), a different seed can differ, and
+    greedy slots running alongside are unaffected."""
+    ids, px = _mk_request(rng, 11)
+    ids2, px2 = _mk_request(rng, 13)
+
+    def run(seed):
+        eng = ServeEngine(model, slots=2, max_seq=64, bucket=16,
+                          steps_per_tick=4, seed=seed, top_k=20)
+        r_greedy = eng.submit(ids, px, max_new_tokens=5)
+        r_samp = eng.submit(ids2, px2, max_new_tokens=5, temperature=1.5)
+        out = eng.run()
+        return out[r_greedy], out[r_samp]
+
+    g1, s1 = run(0)
+    g2, s2 = run(0)
+    assert g1 == g2 and s1 == s2        # fully reproducible
+    # greedy request unaffected by the sampled neighbor
+    ref = _reference_tokens(model, ids, px, 5)
+    assert g1 == ref
+    # different seed: greedy identical; the sampled stream may differ but
+    # must remain valid token ids
+    g3, s3 = run(123)
+    assert g3 == ref
+    assert all(0 <= t < model.cfg.text.vocab_size for t in s3)
+
+
 def test_engine_text_only_requests(model, rng):
     """pixel_values=None requests decode pure-text (no vision tower)."""
     eng = ServeEngine(model, slots=2, max_seq=64, bucket=16)
