@@ -11,6 +11,7 @@ so the relay can't return early and XLA can't hoist anything.
 """
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -81,8 +82,9 @@ positions = jnp.full((B,), T_CTX, jnp.int32)
 emb0 = jax.random.normal(kshape(), (B, 1, D), jnp.bfloat16)
 
 
-@jax.jit
-def run(params, emb0, kv):
+@partial(jax.jit, donate_argnums=(2,))   # donate the cache: in real serving
+def run(params, emb0, kv):               # it lives inside one jit (prefill->
+                                         # scan), so only one copy exists
     def body(carry, _):
         emb, kv = carry
         logits, kv, _ = llama_decode_step(
@@ -92,16 +94,17 @@ def run(params, emb0, kv):
         emb = params["embed_tokens"][nxt][:, None, :]
         return (emb, kv), logits[0, 0]
 
-    (emb, _), probe = jax.lax.scan(body, (emb0, kv), jnp.arange(STEPS))
-    return emb[0, 0, 0] + probe.sum()
+    (emb, kv), probe = jax.lax.scan(body, (emb0, kv), jnp.arange(STEPS))
+    return emb[0, 0, 0] + probe.sum(), kv
 
 
-out = run(params, emb0, kv)
+out, kv = run(params, emb0, kv)
 print("compiled; first result:", jax.device_get(out))
 times = []
 for _ in range(3):
     t0 = time.perf_counter()
-    jax.device_get(run(params, emb0, kv))
+    out, kv = run(params, emb0, kv)
+    jax.device_get(out)
     times.append(time.perf_counter() - t0)
 best = min(times)
 per_step = best / STEPS * 1e3
