@@ -380,6 +380,9 @@ class ServeEngine:
         self.keys = np.zeros((slots, 2), np.uint32)
         self.queue: deque = deque()
         self.results: Dict[int, List[int]] = {}
+        # per-request latency accounting: rid -> {submit, first_token, done}
+        # (host wall-clock; first_token lands right after the prefill)
+        self.request_stats: Dict[int, Dict[str, float]] = {}
         self._next_rid = 0
 
     def _cache_dtype(self):
@@ -398,8 +401,11 @@ class ServeEngine:
                 f"prompt bucket {Tb} + max_new {max_new_tokens} (+chunk "
                 f"slack {self.steps_per_tick}) exceeds max_seq {self.max_seq}"
             )
+        import time as _time
+
         rid = self._next_rid
         self._next_rid += 1
+        self.request_stats[rid] = {"submit": _time.perf_counter()}
         self.queue.append(Request(rid, ids,
                                   None if pixel_values is None
                                   else np.asarray(pixel_values),
@@ -419,8 +425,11 @@ class ServeEngine:
         for b, slot in enumerate(self._slots):
             if slot.active or not self.queue:
                 continue
+            import time as _time
+
             req = self.queue.popleft()
             first = self._prefill_into(b, req)
+            self.request_stats[req.rid]["first_token"] = _time.perf_counter()
             slot.rid = req.rid
             self.temps[b] = req.temperature
             self.keys[b] = np.asarray(
@@ -530,8 +539,11 @@ class ServeEngine:
                 self._retire(b)
 
     def _retire(self, b: int):
+        import time as _time
+
         slot = self._slots[b]
         self.results[slot.rid] = slot.generated
+        self.request_stats[slot.rid]["done"] = _time.perf_counter()
         slot.active = False
         slot.rid = -1
         self.cur_lens[b] = 0

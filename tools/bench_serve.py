@@ -86,6 +86,12 @@ t0 = time.perf_counter()
 out = eng.run()
 dt = time.perf_counter() - t0
 total_new = sum(len(v) for v in out.values())
+stats = [s for s in eng.request_stats.values() if "done" in s]
+ttft = np.asarray([s["first_token"] - s["submit"] for s in stats]) * 1e3
+turn = np.asarray([s["done"] - s["submit"] for s in stats]) * 1e3
 print(f"{label}: {N_REQ} requests, {total_new} tokens in {dt:.1f}s -> "
-      f"{total_new/dt:.1f} tok/s aggregate, "
-      f"{dt/N_REQ*1e3:.0f} ms/request mean turnaround")
+      f"{total_new/dt:.1f} tok/s aggregate")
+print(f"  TTFT  ms: mean {ttft.mean():.0f}  p50 {np.percentile(ttft, 50):.0f}"
+      f"  p95 {np.percentile(ttft, 95):.0f}")
+print(f"  turn  ms: mean {turn.mean():.0f}  p50 {np.percentile(turn, 50):.0f}"
+      f"  p95 {np.percentile(turn, 95):.0f}")
