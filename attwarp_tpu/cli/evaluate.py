@@ -47,6 +47,11 @@ def main(argv=None) -> int:
     inner = make_backend(args.model, layer_index=args.layer_index)
     batch = args.batch_size
     if args.serve_slots > 0:
+        if not hasattr(inner, "build_ids") or inner.tokenizer is None:
+            raise SystemExit(
+                f"--serve-slots needs a real backend with a tokenizer; "
+                f"{args.model!r} has no serving path"
+            )
         backend = EngineAnswerBackend(
             inner, slots=args.serve_slots,
             max_new_tokens=args.max_new_tokens,

@@ -64,6 +64,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         backend.model, slots=args.slots, max_seq=args.max_seq,
         kv_quant=kv_quant, steps_per_tick=args.steps_per_tick,
         top_k=args.top_k, seed=args.seed,
+        use_flash=bool(getattr(backend, "use_flash", False)),
     )
 
     requests = []

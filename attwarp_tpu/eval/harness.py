@@ -75,16 +75,24 @@ class EngineAnswerBackend:
     the eval harness's high-throughput path (the reference harness answers
     strictly one sample at a time, evaluate_accuracy.py:329-349)."""
 
-    def __init__(self, backend, slots: int = 8, max_seq: int = 768,
+    def __init__(self, backend, slots: int = 8, max_seq: Optional[int] = None,
                  max_new_tokens: int = 64, steps_per_tick: int = 8):
         from attwarp_tpu.serving import ServeEngine
 
         self.backend = backend
         self.max_new_tokens = max_new_tokens
+        if max_seq is None:
+            # prompt = image tokens + template/question text (generously
+            # bucketed) + the answer + chunk slack; a hard-coded 768 was too
+            # small for real LLaVA prompts in the 704-token length bucket
+            n_img = getattr(backend.model.cfg, "num_image_tokens", 0) or 0
+            prompt_cap = -(-(n_img + 192) // 64) * 64
+            max_seq = prompt_cap + max_new_tokens + steps_per_tick + 64
         self.engine = ServeEngine(
             backend.model, slots=slots, max_seq=max_seq,
             kv_quant=bool(getattr(backend, "kv_quant", False)),
             steps_per_tick=steps_per_tick,
+            use_flash=bool(getattr(backend, "use_flash", False)),
         )
 
     def _decode(self, toks) -> str:
@@ -221,38 +229,42 @@ def evaluate_textvqa_accuracy(
             ) as f:
                 json.dump(interim, f, indent=2)
 
+    def _answer_all(images, questions):
+        """Batched answering with a per-sample fallback: one bad sample (or
+        an oversized prompt) must not discard the rest of the chunk — the
+        pre-batching harness skipped exactly one sample per failure."""
+        if batch_n > 1:
+            try:
+                return backend.answer_many(images, questions, max_new_tokens)
+            except Exception as e:
+                print(f"Batched answering failed ({e}); per-sample fallback.")
+        out = []
+        for im, q in zip(images, questions):
+            try:
+                out.append(backend.answer(im, q, max_new_tokens))
+            except Exception as e:
+                print(f"Error answering sample: {e}. Skipping.")
+                out.append(None)
+        return out
+
     def _flush():
         if not pending:
             return
-        try:
-            if batch_n > 1:
-                answers = backend.answer_many(
-                    [p["img"] for p in pending],
-                    [p["question"] for p in pending], max_new_tokens,
-                )
-            else:
-                answers = [backend.answer(p["img"], p["question"], max_new_tokens)
-                           for p in pending]
-            oanswers = [None] * len(pending)
-            if score_original:
-                have = [i for i, p in enumerate(pending) if p["oimg"] is not None]
-                if have:
-                    if batch_n > 1:
-                        outs = backend.answer_many(
-                            [pending[i]["oimg"] for i in have],
-                            [pending[i]["question"] for i in have],
-                            max_new_tokens,
-                        )
-                    else:
-                        outs = [backend.answer(pending[i]["oimg"],
-                                               pending[i]["question"],
-                                               max_new_tokens) for i in have]
-                    for i, o in zip(have, outs):
-                        oanswers[i] = o
-            for p, raw, oraw in zip(pending, answers, oanswers):
+        answers = _answer_all([p["img"] for p in pending],
+                              [p["question"] for p in pending])
+        oanswers = [None] * len(pending)
+        if score_original:
+            have = [i for i, p in enumerate(pending) if p["oimg"] is not None]
+            if have:
+                outs = _answer_all([pending[i]["oimg"] for i in have],
+                                   [pending[i]["question"] for i in have])
+                for i, o in zip(have, outs):
+                    oanswers[i] = o
+        for p, raw, oraw in zip(pending, answers, oanswers):
+            try:
                 _score_one(p, raw, oraw)
-        except Exception as e:
-            print(f"Error answering batch of {len(pending)}: {e}. Skipping.")
+            except Exception as e:
+                print(f"Error scoring {p['sample_id']}: {e}. Skipping.")
         pending.clear()
 
     for path in files:

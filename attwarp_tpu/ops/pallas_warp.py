@@ -48,12 +48,9 @@ def _interp_matrix_in_kernel(coords: jnp.ndarray, in_len: int) -> jnp.ndarray:
     ) * frac[:, None]
 
 
-def _quant_pair(x: jnp.ndarray):
-    """Two-level int8 split of |x| ≤ 1: ``x ≈ (q_hi + q_lo/254)/127``."""
-    s = x * 127.0
-    q_hi = jnp.clip(jnp.round(s), -127, 127)
-    q_lo = jnp.clip(jnp.round((s - q_hi) * 254.0), -127, 127)
-    return q_hi.astype(jnp.int8), q_lo.astype(jnp.int8)
+# the two-level int8 split is SHARED with the XLA prototype so the kernel's
+# numerics can never silently diverge from what the golden test validates
+from attwarp_tpu.warp.resample import _quant_pair_unit as _quant_pair
 
 
 def _dot_int8_pair(a_pair, b_pair) -> jnp.ndarray:

@@ -43,6 +43,7 @@ from attwarp_tpu.models.llama import (
     LlamaKVCache,
     QuantKVCache,
     _attn,
+    _attn_quantcache,
     apply_rope,
     init_kv_cache,
     init_quant_kv_cache,
@@ -56,9 +57,10 @@ from attwarp_tpu.numerics.quant import apply_linear, dequantize_kv, quantize_kv
 # ── jitted core ─────────────────────────────────────────────────────────
 
 
-@partial(jax.jit, static_argnames=("cfg", "tcfg", "max_seq", "kv_quant", "with_image"))
+@partial(jax.jit, static_argnames=("cfg", "tcfg", "max_seq", "kv_quant",
+                                   "with_image", "use_flash"))
 def _prefill(params, cfg, tcfg: LlamaConfig, ids, mask, pixels, max_seq: int,
-             kv_quant: bool, with_image: bool):
+             kv_quant: bool, with_image: bool, use_flash: bool = False):
     """One program per length bucket: embed (+ vision splice) -> prefill ->
     argmax. Must be jitted — calling llama_prefill eagerly dispatches every
     op separately, which costs seconds per request through the relay."""
@@ -70,12 +72,12 @@ def _prefill(params, cfg, tcfg: LlamaConfig, ids, mask, pixels, max_seq: int,
         embeds = params["llama"]["embed_tokens"][jnp.clip(ids, 0, None)]
     logits, block, _ = llama_prefill(
         params["llama"], tcfg, embeds, mask, max_seq=max_seq,
-        kv_quant=kv_quant,
+        kv_quant=kv_quant, use_flash=use_flash,
     )
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), block
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def _insert_dense(cache: LlamaKVCache, block: LlamaKVCache, slot, cfg):
     """Write a single-request prefill cache block (L, 1, Tb, H, D) into
     ``slot`` at positions [0, Tb)."""
@@ -86,7 +88,7 @@ def _insert_dense(cache: LlamaKVCache, block: LlamaKVCache, slot, cfg):
     return LlamaKVCache(k, v)
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0,))
 def _insert_tuple(cache, block, slot):
     """Dense tuple cache (Qwen2-VL convention): write the prefill block."""
     return tuple(
@@ -95,7 +97,7 @@ def _insert_tuple(cache, block, slot):
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def _insert_quant(cache: QuantKVCache, block: QuantKVCache, slot, cfg):
     def ins(big, small):
         zeros = (0,) * (big.ndim - 2)
@@ -135,7 +137,7 @@ def _upd_slot(cache, new, layer, cur_lens):
     return cache.at[layer, jnp.arange(B), cur_lens].set(new[:, 0])
 
 
-@partial(jax.jit, static_argnames=("cfg", "k_steps", "top_k"))
+@partial(jax.jit, static_argnames=("cfg", "k_steps", "top_k"), donate_argnums=(3,))
 def _step_chunk(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts,
                 keys, temps, k_steps: int, top_k: int = 0):
     """Advance every slot ``k_steps`` tokens in ONE dispatch (lax.scan).
@@ -197,6 +199,22 @@ def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts):
                 _upd_slot(new.v_q, v1q, i, cur_lens),
                 _upd_slot(new.v_s, v1s, i, cur_lens),
             )
+            if B >= 16:
+                # same measured crossover as llama_decode_step: the fused
+                # dequant stops fusing at B>=16 — use the scale-factored form
+                attn, _ = _attn_quantcache(
+                    q, new.k_q[i], new.k_s[i], new.v_q[i], new.v_s[i],
+                    kv_mask[:, None, :], cfg, want_probs=False,
+                )
+                x = x + apply_linear(attn, lp["o_proj"])
+                h2 = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+                mlp = apply_linear(
+                    jax.nn.silu(apply_linear(h2, lp["gate_proj"]))
+                    * apply_linear(h2, lp["up_proj"]),
+                    lp["down_proj"],
+                )
+                x = x + mlp
+                continue
             k = dequantize_kv(new.k_q[i], new.k_s[i], q.dtype)
             v = dequantize_kv(new.v_q[i], new.v_s[i], q.dtype)
         else:
@@ -251,7 +269,7 @@ def _qwen_prefill(params, cfg, tcfg, ids, mask, patches, positions,
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), block
 
 
-@partial(jax.jit, static_argnames=("cfg", "k_steps", "top_k"))
+@partial(jax.jit, static_argnames=("cfg", "k_steps", "top_k"), donate_argnums=(3,))
 def _qwen_step_chunk(params, cfg, tokens, kv, cur_lens, starts, deltas,
                      keys, temps, k_steps: int, top_k: int = 0):
     """Chunked Qwen decode: all three M-RoPE streams share the text position
@@ -343,7 +361,8 @@ class ServeEngine:
 
     def __init__(self, model, slots: int = 8, max_seq: int = 768,
                  bucket: int = 64, kv_quant: bool = False,
-                 steps_per_tick: int = 8, top_k: int = 0, seed: int = 0):
+                 steps_per_tick: int = 8, top_k: int = 0, seed: int = 0,
+                 use_flash: bool = False):
         self.model = model
         self.cfg = model.cfg
         self.tcfg = model.cfg.text
@@ -357,6 +376,8 @@ class ServeEngine:
         # second family: Qwen2-VL (M-RoPE positions carry a per-request delta)
         self.family = ("qwen2vl" if hasattr(model.cfg, "vision_start_token_id")
                        else "llava")
+        # Pallas flash prefill (LLaVA family only; long prompts)
+        self.use_flash = use_flash and self.family == "llava"
         if kv_quant:
             self.kv = init_quant_kv_cache(self.tcfg, slots, max_seq)
         elif self.family == "qwen2vl":
@@ -485,6 +506,7 @@ class ServeEngine:
             first, block = _prefill(
                 self.model.params, self.cfg, self.tcfg, jnp.asarray(ids),
                 jnp.asarray(mask), pixels, Tb, self.kv_quant, with_image,
+                self.use_flash,
             )
         if self.kv_quant:
             self.kv = _insert_quant(self.kv, block, jnp.int32(b), self.tcfg)
@@ -521,21 +543,20 @@ class ServeEngine:
         for b, slot in enumerate(self._slots):
             if not slot.active:
                 continue
-            consumed = 0
+            finished = False
             for j in range(K):
                 tok = int(chunk[j, b])
                 slot.generated.append(tok)
                 slot.remaining -= 1
-                consumed = j + 1
                 if tok == self.cfg.eos_token_id or slot.remaining <= 0:
+                    finished = True   # incl. EOS on the chunk's LAST step
                     break
             # device-side cur_lens advanced by K for everyone; the host copy
             # is authoritative and only counts consumed tokens (retired
             # slots' extra writes are dead — the next insert masks them out)
             self.cur_lens[b] += K
             self.tokens[b] = int(chunk[K - 1, b])
-            if consumed < K or slot.remaining <= 0 \
-                    or self.cur_lens[b] + K >= self.max_seq:
+            if finished or self.cur_lens[b] + K >= self.max_seq:
                 self._retire(b)
 
     def _retire(self, b: int):

@@ -259,6 +259,34 @@ def test_serve_cli_end_to_end(model, rng, tmp_path):
         assert r["answer"] is None or isinstance(r["answer"], str)
 
 
+def test_tick_retires_on_chunk_final_eos(model, rng, monkeypatch):
+    """Regression: EOS landing on the LAST step of a chunk must retire the
+    slot (the old 'consumed < K' condition missed it, so decoding continued
+    past EOS — and with steps_per_tick=1 EOS never ended a request)."""
+    import jax.numpy as jnp
+
+    import attwarp_tpu.serving.engine as E
+
+    eng = ServeEngine(model, slots=1, max_seq=64, bucket=16, steps_per_tick=2)
+    ids, px = _mk_request(rng, 9)
+    rid = eng.submit(ids, px, max_new_tokens=6)
+    eng._admit()
+    assert eng._slots[0].active
+    eos = eng.cfg.eos_token_id
+
+    def fake_chunk(params, cfg, tokens, kv, cur_lens, starts, keys, temps,
+                   k_steps, top_k=0):
+        # one non-EOS token, then EOS exactly at the chunk boundary
+        return (jnp.asarray([[5], [eos]], jnp.int32), kv,
+                cur_lens + k_steps, keys)
+
+    monkeypatch.setattr(E, "_step_chunk", fake_chunk)
+    eng._tick()
+    assert not eng._slots[0].active, "slot must retire on chunk-final EOS"
+    assert eng.results[rid][-1] == eos
+    assert len(eng.results[rid]) == 3  # first token + 5 + eos, nothing after
+
+
 def test_engine_temperature_sampling(model, rng):
     """temperature>0 samples with a per-request reproducible key: two engine
     runs give identical tokens (seeded), a different seed can differ, and
