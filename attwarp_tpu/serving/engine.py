@@ -443,23 +443,35 @@ class ServeEngine:
 
     # ── internals ──────────────────────────────────────────────────────
     def _admit(self):
+        import time as _time
+
+        # dispatch every free-slot prefill first (jax dispatch is async), then
+        # sync the whole admission wave with ONE host round-trip — per-request
+        # first-token fetches serialized n_free relay round-trips
+        wave = []
         for b, slot in enumerate(self._slots):
             if slot.active or not self.queue:
                 continue
-            import time as _time
-
             req = self.queue.popleft()
             first = self._prefill_into(b, req)
-            self.request_stats[req.rid]["first_token"] = _time.perf_counter()
+            wave.append((b, slot, req, first))
+        if not wave:
+            return
+        firsts = jax.device_get([f for _, _, _, f in wave])
+        now = _time.perf_counter()
+        for (b, slot, req, _), first in zip(wave, firsts):
+            tok = int(np.asarray(first)[0])
+            self.tokens[b] = tok
+            self.request_stats[req.rid]["first_token"] = now
             slot.rid = req.rid
             self.temps[b] = req.temperature
             self.keys[b] = np.asarray(
                 jax.random.fold_in(self._base_key, req.rid), np.uint32
             )
-            slot.generated = [int(first)]
+            slot.generated = [tok]
             slot.remaining = req.max_new_tokens - 1
             slot.active = True
-            if int(first) == self.cfg.eos_token_id or slot.remaining <= 0:
+            if tok == self.cfg.eos_token_id or slot.remaining <= 0:
                 self._retire(b)
 
     def _prefill_into(self, b: int, req: Request) -> int:
@@ -514,11 +526,10 @@ class ServeEngine:
             self.kv = _insert_tuple(self.kv, block, jnp.int32(b))
         else:
             self.kv = _insert_dense(self.kv, block, jnp.int32(b), self.tcfg)
-        tok = int(np.asarray(first)[0])
-        self.tokens[b] = tok
         self.cur_lens[b] = Tb       # next write position (after the bucket)
         self.starts[b] = pad        # pad region permanently masked
-        return tok
+        return first                # UNSYNCED (B=1,) jax array — _admit
+                                    # fetches the whole admission wave at once
 
     def _tick(self):
         K = self.steps_per_tick
