@@ -315,6 +315,17 @@ def test_engine_temperature_sampling(model, rng):
     assert all(0 <= t < model.cfg.text.vocab_size for t in s3)
 
 
+def test_evaluate_cli_serve_slots_guard(tmp_path):
+    """--serve-slots with a backend that has no serving path fails with a
+    clear SystemExit, not a deep AttributeError."""
+    from attwarp_tpu.cli.evaluate import main as ev_main
+
+    with pytest.raises(SystemExit, match="serving path"):
+        ev_main(["--metadata-dir", str(tmp_path), "--output-dir",
+                 str(tmp_path / "o"), "--model", "reader",
+                 "--serve-slots", "2"])
+
+
 def test_engine_text_only_requests(model, rng):
     """pixel_values=None requests decode pure-text (no vision tower)."""
     eng = ServeEngine(model, slots=2, max_seq=64, bucket=16)
