@@ -136,9 +136,18 @@ class AttWarpPipeline:
             warped_in = np.stack(
                 [_resize_for_backend(w, self.backend.image_size) for w in warped]
             )
-            _maps2, second_answers = self.backend.extract(
-                warped_in, list(questions), max_new_tokens=self.max_new_tokens
-            )
+            # the second pass only needs TEXT — backends with the answer-only
+            # fast path (extract_layer=None: no attention materialized, no
+            # accumulator scanned) skip the extraction work entirely
+            if hasattr(self.backend, "answer_batch"):
+                second_answers = self.backend.answer_batch(
+                    warped_in, list(questions),
+                    max_new_tokens=self.max_new_tokens,
+                )
+            else:
+                _maps2, second_answers = self.backend.extract(
+                    warped_in, list(questions), max_new_tokens=self.max_new_tokens
+                )
 
         return AttWarpResult(
             warped=warped,

@@ -83,3 +83,35 @@ def test_pipeline_size_bucketing(rng):
     assert res.mota_masks[2].shape == (64, 32)
     assert res.warped.shape == (3, 32, 32, 3)
     assert np.isfinite(res.warped).all()
+
+
+def test_pipeline_second_pass_uses_answer_fast_path(rng):
+    """Backends with answer_batch get the answer-only second pass; the
+    answers must equal the extract-path texts (same greedy decode)."""
+    import numpy as np
+
+    class _Spy:
+        """Wrap the mini backend; expose answer_batch that mirrors extract's
+        texts and record which path the pipeline took."""
+
+        def __init__(self):
+            self.inner = _backend()
+            self.image_size = self.inner.image_size
+            self.calls = []
+
+        def extract(self, images, questions, max_new_tokens=20):
+            self.calls.append("extract")
+            return self.inner.extract(images, questions, max_new_tokens)
+
+        def answer_batch(self, images, questions, max_new_tokens=20):
+            self.calls.append("answer_batch")
+            _m, texts = self.inner.extract(images, questions, max_new_tokens)
+            return texts
+
+    spy = _Spy()
+    pipe = AttWarpPipeline(spy, warp_size=48, max_new_tokens=2, size_bucket=0)
+    imgs = [np.asarray(rng.random((40, 40, 3)) * 255, np.uint8)]
+    res = pipe.run(imgs, ["what is it?"])
+    # pass 1 extracted; pass 2 took the fast path
+    assert spy.calls[0] == "extract" and "answer_batch" in spy.calls
+    assert res.second_answers is not None and len(res.second_answers) == 1
