@@ -349,6 +349,7 @@ class _Slot:
     generated: List[int] = field(default_factory=list)
     remaining: int = 0
     active: bool = False
+    pending: bool = False   # prefill dispatched, first token not yet fetched
 
 
 class ServeEngine:
@@ -400,6 +401,7 @@ class ServeEngine:
         self.temps = np.zeros((slots,), np.float32)
         self.keys = np.zeros((slots, 2), np.uint32)
         self.queue: deque = deque()
+        self._pending: List = []   # (slot, Request, unfetched first-token)
         self.results: Dict[int, List[int]] = {}
         # per-request latency accounting: rid -> {submit, first_token, done}
         # (host wall-clock; first_token lands right after the prefill)
@@ -435,44 +437,54 @@ class ServeEngine:
 
     def run(self) -> Dict[int, List[int]]:
         """Drive until queue and slots drain; returns {rid: generated ids}."""
-        while self.queue or any(s.active for s in self._slots):
+        while self.queue or any(s.active or s.pending for s in self._slots):
             self._admit()
             if any(s.active for s in self._slots):
                 self._tick()
+            elif self._pending:
+                # nothing decoding: sync the pending admissions directly
+                self._activate_pending(jax.device_get(
+                    [f for _, _, f in self._pending]
+                ))
         return self.results
 
     # ── internals ──────────────────────────────────────────────────────
     def _admit(self):
-        import time as _time
-
-        # dispatch every free-slot prefill first (jax dispatch is async), then
-        # sync the whole admission wave with ONE host round-trip — per-request
-        # first-token fetches serialized n_free relay round-trips
-        wave = []
+        """NON-BLOCKING admission: dispatch prefill+insert for every free
+        slot (jax dispatch is async) and record the unfetched first-token
+        arrays; they are synced TOGETHER with the next tick's chunk, so a
+        mid-run admission never stalls the other slots' decoding. A pending
+        slot is skipped by the harvest until activation (its chunk columns
+        are garbage the masks make unreachable, like a retired slot's)."""
         for b, slot in enumerate(self._slots):
-            if slot.active or not self.queue:
+            if slot.active or slot.pending or not self.queue:
                 continue
             req = self.queue.popleft()
             first = self._prefill_into(b, req)
-            wave.append((b, slot, req, first))
-        if not wave:
-            return
-        firsts = jax.device_get([f for _, _, _, f in wave])
+            slot.pending = True
+            slot.rid = req.rid
+            self._pending.append((b, req, first))
+
+    def _activate_pending(self, firsts):
+        import time as _time
+
         now = _time.perf_counter()
-        for (b, slot, req, _), first in zip(wave, firsts):
+        for (b, req, _), first in zip(self._pending, firsts):
+            slot = self._slots[b]
             tok = int(np.asarray(first)[0])
             self.tokens[b] = tok
             self.request_stats[req.rid]["first_token"] = now
-            slot.rid = req.rid
             self.temps[b] = req.temperature
             self.keys[b] = np.asarray(
                 jax.random.fold_in(self._base_key, req.rid), np.uint32
             )
             slot.generated = [tok]
             slot.remaining = req.max_new_tokens - 1
+            slot.pending = False
             slot.active = True
             if tok == self.cfg.eos_token_id or slot.remaining <= 0:
                 self._retire(b)
+        self._pending.clear()
 
     def _prefill_into(self, b: int, req: Request) -> int:
         """Left-pad the prompt inside its 64-token bucket (ONE compilation
@@ -550,7 +562,11 @@ class ServeEngine:
                 jnp.asarray(self.temps), K, self.top_k,
             )
             self.keys = np.array(keys)  # writable host copy
-        chunk = np.asarray(chunk)              # (K, B)
+        # ONE host round-trip fetches the chunk AND any pending admissions'
+        # first tokens; pending slots activate after this harvest and join
+        # the next tick (their columns this tick are unreachable garbage)
+        fetched = jax.device_get((chunk, [f for _, _, f in self._pending]))
+        chunk, pending_firsts = np.asarray(fetched[0]), fetched[1]
         for b, slot in enumerate(self._slots):
             if not slot.active:
                 continue
@@ -569,6 +585,8 @@ class ServeEngine:
             self.tokens[b] = int(chunk[K - 1, b])
             if finished or self.cur_lens[b] + K >= self.max_seq:
                 self._retire(b)
+        if self._pending:
+            self._activate_pending(pending_firsts)
 
     def _retire(self, b: int):
         import time as _time

@@ -271,7 +271,8 @@ def test_tick_retires_on_chunk_final_eos(model, rng, monkeypatch):
     ids, px = _mk_request(rng, 9)
     rid = eng.submit(ids, px, max_new_tokens=6)
     eng._admit()
-    assert eng._slots[0].active
+    # admission is non-blocking: the slot is pending until the next sync
+    assert eng._slots[0].pending and not eng._slots[0].active
     eos = eng.cfg.eos_token_id
 
     def fake_chunk(params, cfg, tokens, kv, cur_lens, starts, keys, temps,
@@ -281,7 +282,9 @@ def test_tick_retires_on_chunk_final_eos(model, rng, monkeypatch):
                 cur_lens + k_steps, keys)
 
     monkeypatch.setattr(E, "_step_chunk", fake_chunk)
-    eng._tick()
+    eng._tick()   # activates the pending admission (chunk discarded: inactive)
+    assert eng._slots[0].active
+    eng._tick()   # consumes the fake chunk; EOS on the LAST step
     assert not eng._slots[0].active, "slot must retire on chunk-final EOS"
     assert eng.results[rid][-1] == eos
     assert len(eng.results[rid]) == 3  # first token + 5 + eos, nothing after
