@@ -84,8 +84,11 @@ class EngineAnswerBackend:
         if max_seq is None:
             # prompt = image tokens + template/question text (generously
             # bucketed) + the answer + chunk slack; a hard-coded 768 was too
-            # small for real LLaVA prompts in the 704-token length bucket
-            n_img = getattr(backend.model.cfg, "num_image_tokens", 0) or 0
+            # small for real LLaVA prompts in the 704-token length bucket.
+            # num_patches_side exists on BOTH backends (LLaVA 24 -> 576
+            # tokens; Qwen2-VL 448px -> 16 -> 256) — the LLaVA-only
+            # cfg.num_image_tokens read undersized Qwen to 392
+            n_img = int(backend.num_patches_side) ** 2
             prompt_cap = -(-(n_img + 192) // 64) * 64
             max_seq = prompt_cap + max_new_tokens + steps_per_tick + 64
         self.engine = ServeEngine(
@@ -110,15 +113,22 @@ class EngineAnswerBackend:
 
         mnt = max_new_tokens or self.max_new_tokens
         rids = []
-        for im, q in zip(images, questions):
-            ids = np.asarray(
-                self.backend.build_ids(q + ANSWER_SUFFIX), np.int64
-            )
-            px = self.backend._preprocess(
-                _resize_for_backend(im, self.backend.image_size)
-            )
-            rids.append(self.engine.submit(ids, px, max_new_tokens=mnt))
-        results = self.engine.run()
+        try:
+            for im, q in zip(images, questions):
+                ids = np.asarray(
+                    self.backend.build_ids(q + ANSWER_SUFFIX), np.int64
+                )
+                px = self.backend._preprocess(
+                    _resize_for_backend(im, self.backend.image_size)
+                )
+                rids.append(self.engine.submit(ids, px, max_new_tokens=mnt))
+            results = self.engine.run()
+        except Exception:
+            # a failed submit/run must not leave this chunk's requests in
+            # the queue: the harness's per-sample fallback would otherwise
+            # drain them under throwaway rids (double decode work)
+            self.engine.queue.clear()
+            raise
         return [self._decode(results[r]) for r in rids]
 
 

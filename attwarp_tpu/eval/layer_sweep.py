@@ -49,7 +49,7 @@ def _extract_all_layers(backend, images, questions,
         maps, _ = backend.extract(
             images, questions, max_new_tokens=_SWEEP_NEW_TOKENS
         )
-    except (TypeError, ValueError) as e:
+    except Exception as e:
         # any failure (tuple unsupported, layer out of range, …) routes to
         # the per-layer fallback path rather than aborting the whole sweep
         print(f"[layer_sweep] one-pass multi-layer extraction unavailable "

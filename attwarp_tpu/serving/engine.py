@@ -206,25 +206,18 @@ def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts):
                     q, new.k_q[i], new.k_s[i], new.v_q[i], new.v_s[i],
                     kv_mask[:, None, :], cfg, want_probs=False,
                 )
-                x = x + apply_linear(attn, lp["o_proj"])
-                h2 = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-                mlp = apply_linear(
-                    jax.nn.silu(apply_linear(h2, lp["gate_proj"]))
-                    * apply_linear(h2, lp["up_proj"]),
-                    lp["down_proj"],
-                )
-                x = x + mlp
-                continue
-            k = dequantize_kv(new.k_q[i], new.k_s[i], q.dtype)
-            v = dequantize_kv(new.v_q[i], new.v_s[i], q.dtype)
+            else:
+                k = dequantize_kv(new.k_q[i], new.k_s[i], q.dtype)
+                v = dequantize_kv(new.v_q[i], new.v_s[i], q.dtype)
+                attn, _ = _attn(q, k, v, kv_mask[:, None, :], cfg,
+                                want_probs=False)
         else:
             new = LlamaKVCache(
                 _upd_slot(new.k, k1.astype(new.k.dtype), i, cur_lens),
                 _upd_slot(new.v, v1.astype(new.v.dtype), i, cur_lens),
             )
-            k = new.k[i]
-            v = new.v[i]
-        attn, _ = _attn(q, k, v, kv_mask[:, None, :], cfg, want_probs=False)
+            attn, _ = _attn(q, new.k[i], new.v[i], kv_mask[:, None, :], cfg,
+                            want_probs=False)
         x = x + apply_linear(attn, lp["o_proj"])
         h2 = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         mlp = apply_linear(

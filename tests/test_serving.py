@@ -259,6 +259,26 @@ def test_serve_cli_end_to_end(model, rng, tmp_path):
         assert r["answer"] is None or isinstance(r["answer"], str)
 
 
+def test_engine_16_slot_kv8_parity(model, rng):
+    """The B>=16 scale-factored quant-attention branch (the headline
+    16-slot serving configuration) must produce the same first tokens and
+    valid completions as per-request generate — previously this exact code
+    path had zero coverage."""
+    eng = ServeEngine(model, slots=16, max_seq=48, bucket=16, kv_quant=True,
+                      steps_per_tick=2)
+    reqs = []
+    for i in range(20):          # more requests than slots: reuse too
+        ids, px = _mk_request(rng, 9 + (i % 5))
+        reqs.append((eng.submit(ids, px, max_new_tokens=4), ids, px))
+    out = eng.run()
+    assert sorted(out) == sorted(r[0] for r in reqs)
+    for rid, ids, px in reqs:
+        ref = _reference_tokens(model, ids, px, 4)
+        # prefill is exact under kv_quant: first token always matches
+        assert out[rid][0] == ref[0], rid
+        assert 1 <= len(out[rid]) <= 4
+
+
 def test_tick_retires_on_chunk_final_eos(model, rng, monkeypatch):
     """Regression: EOS landing on the LAST step of a chunk must retire the
     slot (the old 'consumed < K' condition missed it, so decoding continued
