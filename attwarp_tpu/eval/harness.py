@@ -108,20 +108,34 @@ class EngineAnswerBackend:
     def answer(self, image_rgb, question, max_new_tokens=None) -> str:
         return self.answer_many([image_rgb], [question], max_new_tokens)[0]
 
+    def _fits(self, ids, mnt: int) -> bool:
+        eng = self.engine
+        bucketed = -(-len(ids) // eng.bucket) * eng.bucket
+        return bucketed + mnt + eng.steps_per_tick <= eng.max_seq
+
     def answer_many(self, images, questions, max_new_tokens=None) -> List[str]:
         from attwarp_tpu.extract.extraction import _resize_for_backend
 
         mnt = max_new_tokens or self.max_new_tokens
-        rids = []
+        # a prompt longer than the engine's max_seq (an unusually long
+        # question) must not fail the chunk — nor silently drop the sample
+        # from the eval denominator: route the oversized ones through the
+        # backend's plain batched decode, which buckets by actual length
+        answers: List[Optional[str]] = [None] * len(images)
+        rids, engine_idx, overflow_idx = [], [], []
         try:
-            for im, q in zip(images, questions):
+            for i, (im, q) in enumerate(zip(images, questions)):
                 ids = np.asarray(
                     self.backend.build_ids(q + ANSWER_SUFFIX), np.int64
                 )
+                if not self._fits(ids, mnt):
+                    overflow_idx.append(i)
+                    continue
                 px = self.backend._preprocess(
                     _resize_for_backend(im, self.backend.image_size)
                 )
                 rids.append(self.engine.submit(ids, px, max_new_tokens=mnt))
+                engine_idx.append(i)
             results = self.engine.run()
         except Exception:
             # a failed submit/run must not leave this chunk's requests in
@@ -129,7 +143,20 @@ class EngineAnswerBackend:
             # drain them under throwaway rids (double decode work)
             self.engine.queue.clear()
             raise
-        return [self._decode(results[r]) for r in rids]
+        for i, r in zip(engine_idx, rids):
+            answers[i] = self._decode(results[r])
+        if overflow_idx:
+            imgs = np.stack([
+                _resize_for_backend(images[i], self.backend.image_size)
+                for i in overflow_idx
+            ])
+            outs = self.backend.answer_batch(
+                imgs, [questions[i] + ANSWER_SUFFIX for i in overflow_idx],
+                max_new_tokens=mnt,
+            )
+            for i, o in zip(overflow_idx, outs):
+                answers[i] = o
+        return answers
 
 
 def evaluate_textvqa_accuracy(

@@ -11,8 +11,11 @@ Design (single chip; params may be TP-sharded — the step inherits their
 shardings like every other jitted consumer):
 
 - **Slot cache**: one ``(L, B_slots, max_seq, kvH, hd)`` KV cache (dense or
-  int8 via ``kv_quant``). Prompts are written compactly from position 0 —
-  no left padding, so rope positions equal cache positions.
+  int8 via ``kv_quant``). Each prompt is left-padded inside its 64-token
+  length bucket: cache positions ``[0, start)`` hold masked padding,
+  ``[start, cur_len)`` the prompt, and rope positions are
+  ``cur_len - start`` (cache position minus the pad offset) — see
+  ``_prefill_into``.
 - **Admission**: each request is prefilled alone at its 64-token length
   bucket (one compilation per bucket) and its K/V block is inserted into a
   free slot; the first generated token comes from the prefill logits.

@@ -2,21 +2,16 @@
 
 The diffusers-side half of ``warp/cross_attention.py``: everything between
 "load a pipeline" and "hand ``run_cross_attention_warp`` a captured-map
-dict". Mirrors ``Ablations/Stable_diffusion_based_warp.py`` behavior:
+dict". Behavior parity with ``Ablations/Stable_diffusion_based_warp.py``
+(image->latent :233-244, prompt->embeddings :249-262, truncated DDIM
+inversion :264-287, denoise-and-record :292-305), re-expressed in this
+repo's idiom: one ``DiffusionAttnSource`` object owns the pipeline and the
+recorder, the inversion is a fold of a pure per-step ``_renoise`` over
+consecutive noise levels, and the recording processors replace the
+third-party ``attention_map_diffusers`` hooks.
 
-- ``encode_image``        (ref :233-244): 768px resize, [-1, 1] normalize,
-  VAE-encode, scale by the VAE's scaling factor.
-- ``truncated_ddim_inversion`` (ref :264-287): the DDIM inversion
-  recurrence z_t = sqrt(a_t)·x0 + sqrt(1-a_t)·eps with
-  x0 = (z - sqrt(1-a_prev)·eps)/sqrt(a_prev), snapshotting z at each
-  clamped timestep.
-- ``CrossAttnRecorder``: replaces the third-party
-  ``attention_map_diffusers`` hooks — swaps the UNet's cross-attention
-  ("attn2") processors for recording processors and accumulates maps in the
-  captured dict convention ``{timestep: {layer_key: (B, heads, H, W,
-  tokens)}}``.
-- ``make_sd_capture_fn``: assembles the above into the ``capture_fn(image,
-  prompt)`` that ``run_cross_attention_warp`` consumes.
+Captured-map convention (what ``cross_attention.py`` consumes):
+``{timestep: {layer_key: (B, heads, H, W, tokens)}}``.
 
 Everything is duck-typed against the diffusers pipeline surface
 (``vae.encode``, ``tokenizer``, ``text_encoder``, ``unet``, ``scheduler``),
@@ -30,7 +25,7 @@ NumPy arrays both work.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, Optional, Sequence
 
 import numpy as np
 
@@ -49,69 +44,36 @@ def load_sd_pipeline(model_id: str = "stabilityai/stable-diffusion-2-1",
     return pipe.to(device)
 
 
-def encode_image(pipe, image: np.ndarray, size: int = 768):
-    """(H, W, 3) float [0,1] or uint8 -> scaled latent z0 (ref :233-244)."""
-    from attwarp_tpu.warp.blend import resize_cubic
-    import jax.numpy as jnp
-
-    img = np.asarray(image, np.float32)
-    if img.max() > 1.5:        # uint8 / [0,255] input
-        img = img / 255.0
-    cf = jnp.asarray(img.transpose(2, 0, 1), jnp.float32)       # (3, H, W)
-    img = np.asarray(resize_cubic(cf, (size, size)))            # (3, S, S)
-    x = (img * 2.0 - 1.0)[None]                                 # (1, 3, S, S)
-    x = pipe.to_tensor(x) if hasattr(pipe, "to_tensor") else _torch_from(x, pipe)
-    dist = pipe.vae.encode(x).latent_dist
-    return dist.sample() * pipe.vae.config.scaling_factor
-
-
-def _torch_from(x: np.ndarray, pipe):
+def _as_pipe_tensor(x: np.ndarray, pipe):
+    """Hand a NumPy batch to whatever array type the pipe's VAE expects."""
+    if hasattr(pipe, "to_tensor"):
+        return pipe.to_tensor(x)
     try:
         import torch
-
-        t = torch.from_numpy(np.ascontiguousarray(x))
-        dtype = getattr(pipe.vae, "dtype", None)
-        device = getattr(pipe, "device", None)
-        if dtype is not None:
-            t = t.to(dtype)
-        if device is not None:
-            t = t.to(device)
-        return t
     except ImportError:
         return x
+    t = torch.from_numpy(np.ascontiguousarray(x))
+    dtype = getattr(pipe.vae, "dtype", None)
+    device = getattr(pipe, "device", None)
+    if dtype is not None:
+        t = t.to(dtype)
+    if device is not None:
+        t = t.to(device)
+    return t
 
 
-def get_text_embeddings(pipe, prompt: str):
-    """Prompt -> (last_hidden_state, input_ids) (ref :249-262)."""
-    toks = pipe.tokenizer(
-        prompt, padding="max_length", truncation=True,
-        max_length=pipe.tokenizer.model_max_length, return_tensors="pt",
-    )
-    emb = pipe.text_encoder(
-        toks.input_ids, attention_mask=toks.attention_mask
-    ).last_hidden_state
-    return emb, toks.input_ids
+def _renoise(scheduler, z, eps, level_from: int, level_to: int):
+    """One truncated-DDIM-inversion step.
 
-
-def truncated_ddim_inversion(
-    pipe, latents, text_embeds, timesteps: Sequence[int] = DEFAULT_TIMESTEPS,
-) -> Dict[int, Any]:
-    """Reference :264-287 exactly: clamp timesteps to [0, T_train-1], walk
-    prev_t -> t pairs, predict eps at prev_t, reconstruct x0, renoise to t,
-    snapshot. Returns {t: z_t}."""
-    sched = pipe.scheduler
-    max_t = sched.config.num_train_timesteps - 1
-    ts = [min(max(int(t), 0), max_t) for t in timesteps]
-    inv: Dict[int, Any] = {}
-    z = latents
-    for prev_t, t in zip(ts[:-1], ts[1:]):
-        eps = pipe.unet_eps(z, prev_t, text_embeds)
-        a_prev = float(sched.alphas_cumprod[prev_t])
-        a = float(sched.alphas_cumprod[t])
-        x0 = (z - ((1.0 - a_prev) ** 0.5) * eps) / (a_prev ** 0.5)
-        z = (a ** 0.5) * x0 + ((1.0 - a) ** 0.5) * eps
-        inv[t] = z
-    return inv
+    Strip the noise ``eps`` predicted at ``level_from`` to get the clean
+    estimate, then deterministically re-noise that estimate to
+    ``level_to`` — the z_t = sqrt(a_t)·x0 + sqrt(1-a_t)·eps recurrence the
+    reference walks (behavior parity with
+    Stable_diffusion_based_warp.py:264-287)."""
+    keep_from = float(scheduler.alphas_cumprod[level_from])
+    keep_to = float(scheduler.alphas_cumprod[level_to])
+    clean = (z - ((1.0 - keep_from) ** 0.5) * eps) * (keep_from ** -0.5)
+    return (keep_to ** 0.5) * clean + ((1.0 - keep_to) ** 0.5) * eps
 
 
 class CrossAttnRecorder:
@@ -172,11 +134,19 @@ class _RecordingProcessor:
     def __call__(self, attn, hidden_states, encoder_hidden_states=None,
                  attention_mask=None, **kw):
         if encoder_hidden_states is not None:  # cross-attention only
+            batch = hidden_states.shape[0]
             q = attn.to_q(hidden_states)
             k = attn.to_k(encoder_hidden_states)
             q = attn.head_to_batch_dim(q)
             k = attn.head_to_batch_dim(k)
-            probs = attn.get_attention_scores(q, k, attention_mask)
+            mask = attention_mask
+            # A raw (B, T) mask must be broadcast to (B*heads, Q, T) before
+            # get_attention_scores, exactly as diffusers' default
+            # AttnProcessor does via prepare_attention_mask.
+            if mask is not None and hasattr(attn, "prepare_attention_mask"):
+                mask = attn.prepare_attention_mask(
+                    mask, encoder_hidden_states.shape[1], batch)
+            probs = attn.get_attention_scores(q, k, mask)
             B_h, Q, T = probs.shape
             heads = attn.heads
             p = probs.reshape(B_h // heads, heads, Q, T)
@@ -193,19 +163,102 @@ def _to_numpy(t) -> np.ndarray:
         return np.asarray(t, np.float32)
 
 
-def forward_and_capture(
-    pipe, recorder: CrossAttnRecorder, inv_latents: Dict[int, Any],
-    prompt: str, num_inference_steps: int = 10,
-) -> Dict[int, Dict[str, Any]]:
-    """Reference :292-305: clear, then one forward denoise per inversion
-    snapshot with the hooks recording under that snapshot's timestep."""
-    recorder.clear()
-    for t, z in inv_latents.items():
-        recorder.timestep = int(t)
-        pipe(prompt=[prompt], negative_prompt=[""],
-             num_inference_steps=num_inference_steps, latents=z,
-             output_type="latent")
-    return recorder.maps
+class DiffusionAttnSource:
+    """An attention source backed by a (duck-typed) diffusers pipeline.
+
+    Owns the pipeline and a ``CrossAttnRecorder`` installed on its UNet.
+    ``capture(image, prompt)`` runs image->latent, prompt->embeddings, the
+    truncated DDIM inversion ladder, then one forward denoise per inversion
+    snapshot with the recorder active — and returns the captured maps.
+    Behavior parity with Stable_diffusion_based_warp.py:233-305."""
+
+    def __init__(self, pipe, timesteps: Sequence[int] = DEFAULT_TIMESTEPS,
+                 num_inference_steps: int = 10, latent_size: int = 768):
+        if not hasattr(pipe, "unet_eps"):
+            pipe.unet_eps = _diffusers_eps_fn(pipe)
+        self.pipe = pipe
+        self.timesteps = tuple(timesteps)
+        self.num_inference_steps = int(num_inference_steps)
+        self.latent_size = int(latent_size)
+        self.recorder = CrossAttnRecorder()
+        self.recorder.install(pipe.unet)
+
+    def image_latent(self, image: np.ndarray):
+        """(H, W, 3) float [0,1] or uint8 -> scaled VAE latent z0."""
+        from attwarp_tpu.warp.blend import resize_cubic
+        import jax.numpy as jnp
+
+        chw = np.asarray(image, np.float32)
+        if chw.max() > 1.5:  # uint8 / [0, 255] input
+            chw = chw / 255.0
+        chw = jnp.asarray(chw.transpose(2, 0, 1), jnp.float32)
+        sized = np.asarray(resize_cubic(chw, (self.latent_size,) * 2))
+        batch = _as_pipe_tensor(sized[None] * 2.0 - 1.0, self.pipe)
+        posterior = self.pipe.vae.encode(batch).latent_dist
+        return posterior.sample() * self.pipe.vae.config.scaling_factor
+
+    def prompt_embeddings(self, prompt: str):
+        """Prompt -> (last_hidden_state, input_ids) via the pipe's CLIP
+        text encoder, padded to the tokenizer's model max length."""
+        tk = self.pipe.tokenizer
+        batch = tk(prompt, padding="max_length", truncation=True,
+                   max_length=tk.model_max_length, return_tensors="pt")
+        hidden = self.pipe.text_encoder(
+            batch.input_ids, attention_mask=batch.attention_mask
+        ).last_hidden_state
+        return hidden, batch.input_ids
+
+    def _noise_levels(self) -> list:
+        """Requested timesteps clamped into the scheduler's trained range."""
+        horizon = self.pipe.scheduler.config.num_train_timesteps - 1
+        return [max(0, min(horizon, int(t))) for t in self.timesteps]
+
+    def invert(self, z0, text_embeds) -> Dict[int, Any]:
+        """Truncated DDIM inversion: fold ``_renoise`` over consecutive
+        noise-level pairs, snapshotting the latent at each target level.
+        Returns ``{level: z_level}`` (the first level seeds the walk and has
+        no snapshot, matching the reference)."""
+        levels = self._noise_levels()
+        snapshots: Dict[int, Any] = {}
+        z = z0
+        for level_from, level_to in zip(levels, levels[1:]):
+            eps = self.pipe.unet_eps(z, level_from, text_embeds)
+            z = _renoise(self.pipe.scheduler, z, eps, level_from, level_to)
+            snapshots[level_to] = z
+        return snapshots
+
+    def denoise_and_record(self, snapshots: Dict[int, Any],
+                           prompt: str) -> Dict[int, Dict[str, Any]]:
+        """One forward denoise per inversion snapshot, with the recording
+        processors filing maps under that snapshot's timestep."""
+        self.recorder.clear()
+        for level, z in snapshots.items():
+            self.recorder.timestep = int(level)
+            self.pipe(prompt=[prompt], negative_prompt=[""],
+                      num_inference_steps=self.num_inference_steps,
+                      latents=z, output_type="latent")
+        return self.recorder.maps
+
+    def capture(self, image: np.ndarray, prompt: str) -> Dict:
+        """The ``capture_fn(image, prompt)`` contract of
+        ``run_cross_attention_warp``."""
+        z0 = self.image_latent(image)
+        embeds, _ids = self.prompt_embeddings(prompt)
+        return self.denoise_and_record(self.invert(z0, embeds), prompt)
+
+
+def _diffusers_eps_fn(pipe) -> Callable:
+    """Adapt a real diffusers pipeline to the ``unet_eps(z, t, emb)``
+    surface the inversion fold calls."""
+    def unet_eps(z, t, emb):
+        import torch
+
+        return pipe.unet(
+            z, torch.tensor([t], device=pipe.device),
+            encoder_hidden_states=emb,
+        ).sample
+
+    return unet_eps
 
 
 def make_sd_capture_fn(
@@ -216,29 +269,11 @@ def make_sd_capture_fn(
 ) -> Callable[[np.ndarray, str], Dict]:
     """Build the ``capture_fn(image, prompt)`` for
     ``run_cross_attention_warp``. Pass a (stub or real) ``pipe`` to skip the
-    diffusers load; the returned callable owns a ``CrossAttnRecorder``
-    installed on the pipe's UNet."""
+    diffusers load; the returned callable is the bound ``capture`` of a
+    ``DiffusionAttnSource`` whose recorder is installed on the pipe's
+    UNet."""
     if pipe is None:
         pipe = load_sd_pipeline(model_id)
-    if not hasattr(pipe, "unet_eps"):
-        # real diffusers pipeline: adapt the UNet call (ref :276-281)
-        def unet_eps(z, t, emb, _pipe=pipe):
-            import torch
-
-            return _pipe.unet(
-                z, torch.tensor([t], device=_pipe.device),
-                encoder_hidden_states=emb,
-            ).sample
-
-        pipe.unet_eps = unet_eps
-    recorder = CrossAttnRecorder()
-    recorder.install(pipe.unet)
-
-    def capture(image: np.ndarray, prompt: str) -> Dict:
-        z0 = encode_image(pipe, image)
-        emb, _ids = get_text_embeddings(pipe, prompt)
-        inv = truncated_ddim_inversion(pipe, z0, emb, timesteps)
-        return forward_and_capture(pipe, recorder, inv, prompt,
-                                   num_inference_steps)
-
-    return capture
+    return DiffusionAttnSource(
+        pipe, timesteps=timesteps, num_inference_steps=num_inference_steps
+    ).capture

@@ -152,3 +152,16 @@ def test_engine_answer_backend_matches_extraction(tmp_path, rng):
     b = eng.answer_many(imgs, qs, 4)
     assert a == b, (a, b)
     assert eng.answer(imgs[0], qs[0], 4) == a[0]
+
+    # an oversized prompt (beyond the engine's max_seq) must not fail the
+    # chunk NOR be dropped from the eval denominator: it is routed through
+    # the backend's plain batched decode and answered like the rest
+    # (ADVICE round 2: the old path raised in submit, then again in the
+    # per-sample fallback, silently skewing the denominator)
+    long_q = "word " * 120 + "what does it say"
+    mixed_qs = [qs[0], long_q, qs[2]]
+    mixed_imgs = [imgs[0], imgs[1], imgs[2]]
+    got = eng.answer_many(mixed_imgs, mixed_qs, 4)
+    assert all(isinstance(x, str) and x for x in got), got
+    assert got[0] == a[0] and got[2] == a[2]
+    assert got[1] == seq.answer(imgs[1], long_q, 4)

@@ -8,11 +8,8 @@ import pytest
 from attwarp_tpu.warp.cross_attention import run_cross_attention_warp
 from attwarp_tpu.warp.sd_capture import (
     CrossAttnRecorder,
-    encode_image,
-    forward_and_capture,
-    get_text_embeddings,
+    DiffusionAttnSource,
     make_sd_capture_fn,
-    truncated_ddim_inversion,
 )
 
 
@@ -109,14 +106,21 @@ class _StubPipe:
         return None
 
 
+def _source(pipe, **kw):
+    src = DiffusionAttnSource(pipe, **kw)
+    # The stub's __call__ records via pipe.recorder — point it at the one
+    # the source installed on the UNet.
+    pipe.recorder = src.recorder
+    return src
+
+
 def test_ddim_inversion_recurrence_matches_reference_formula():
-    """The inversion walk reproduces the reference's per-step algebra
+    """The inversion fold reproduces the reference's per-step algebra
     (Stable_diffusion_based_warp.py:264-287), including timestep clamping."""
-    pipe = _StubPipe()
+    src = _source(_StubPipe(), timesteps=(1200, 800, 400))  # 1200 clamps to 999
     z0 = np.full((1, 4, 2, 2), 0.5, np.float32)
     emb = np.zeros((1, 7, 16), np.float32)
-    ts = [1200, 800, 400]  # 1200 clamps to 999
-    inv = truncated_ddim_inversion(pipe, z0, emb, ts)
+    inv = src.invert(z0, emb)
     assert list(inv.keys()) == [800, 400]
 
     # hand-roll the same recurrence
@@ -130,11 +134,11 @@ def test_ddim_inversion_recurrence_matches_reference_formula():
         np.testing.assert_allclose(inv[t], z, rtol=1e-5)
 
 
-def test_encode_image_shape_and_scale():
-    pipe = _StubPipe()
+def test_image_latent_shape_and_scale():
+    src = _source(_StubPipe(), latent_size=64)
     rng = np.random.default_rng(0)
     img = (rng.random((100, 120, 3)) * 255).astype(np.uint8)
-    z = encode_image(pipe, img, size=64)
+    z = src.image_latent(img)
     assert z.shape == (1, 4, 8, 8)
     # VAE scaling factor applied
     assert np.abs(z).max() < 1.0
@@ -152,21 +156,59 @@ def test_recorder_convention_and_square_inference():
     assert n == 1  # only the attn2 processor wrapped
 
 
+def test_recording_processor_prepares_raw_mask():
+    """A raw (B, T) attention mask is routed through prepare_attention_mask
+    before get_attention_scores (ADVICE round 2): the processor must hand
+    get_attention_scores a broadcastable mask, not the raw one."""
+    from attwarp_tpu.warp.sd_capture import _RecordingProcessor
+
+    seen = {}
+
+    class _Attn:
+        heads = 2
+
+        def to_q(self, h):
+            return h
+
+        def to_k(self, h):
+            return h
+
+        def head_to_batch_dim(self, x):
+            B, T, D = x.shape
+            return np.repeat(x, self.heads, axis=0).reshape(B * self.heads, T, D)
+
+        def prepare_attention_mask(self, mask, target_length, batch_size):
+            seen["prepared"] = (mask.shape, target_length, batch_size)
+            return np.zeros((batch_size * self.heads, 1, target_length),
+                            np.float32)
+
+        def get_attention_scores(self, q, k, mask):
+            seen["mask_shape"] = None if mask is None else mask.shape
+            B_h, Q, _ = q.shape
+            T = k.shape[1]
+            p = np.full((B_h, Q, T), 1.0 / T, np.float32)
+            return p
+
+    rec = CrossAttnRecorder()
+    proc = _RecordingProcessor(rec, "x.attn2", lambda *a, **k: None)
+    hidden = np.zeros((1, 4, 8), np.float32)
+    enc = np.zeros((1, 5, 8), np.float32)
+    raw_mask = np.ones((1, 5), np.float32)
+    proc(_Attn(), hidden, encoder_hidden_states=enc, attention_mask=raw_mask)
+    assert seen["prepared"] == ((1, 5), 5, 1)
+    assert seen["mask_shape"] == (1 * 2, 1, 5)
+
+
 def test_capture_fn_end_to_end_with_stub_and_warp():
     """make_sd_capture_fn drives encode -> inversion -> forward capture and
     the result flows through run_cross_attention_warp to warped images."""
-    rec_holder = {}
-
     pipe = _StubPipe()
-    pipe.recorder = CrossAttnRecorder()
-    # make_sd_capture_fn installs its own recorder on pipe.unet; wire the
-    # stub __call__ to use it by replacing after construction
     fn = make_sd_capture_fn(pipe=pipe, timesteps=(999, 700, 300),
                             num_inference_steps=3)
     # the stub's __call__ records via pipe.recorder — point it at the one
-    # the capture fn installed (exposed through the closure's recorder via
-    # installed processors; reuse install()'s side effect)
-    pipe.recorder = [p for p in pipe._procs.values() if hasattr(p, "recorder")][0].recorder
+    # the capture fn's source installed on the UNet
+    pipe.recorder = [p for p in pipe._procs.values()
+                     if hasattr(p, "recorder")][0].recorder
 
     rng = np.random.default_rng(1)
     img = rng.random((64, 64, 3)).astype(np.float32)

@@ -70,11 +70,15 @@ rng = np.random.default_rng(0)
 label = MODE + ("+kv8" if KV8 else "")
 print(f"engine: {label}, slots={SLOTS}, requests={N_REQ}, max_new={MAX_NEW}")
 
-# warm the compiles (one prefill bucket + the step) with a tiny run
+# warm the compiles (one prefill bucket + the step) with a tiny run,
+# then drop the warm-up engine's KV cache BEFORE allocating the measured
+# one: two live caches double HBM (~6 GiB at 7B dense bf16 next to 13 GiB
+# of weights) and distort capacity comparisons
 warm = ServeEngine(model, slots=SLOTS, max_seq=768, bucket=64, kv_quant=KV8)
 ids = rng.integers(3, 31999, size=(600,)).astype(np.int64)
 warm.submit(ids, None, max_new_tokens=2)
 warm.run()
+del warm
 
 eng = ServeEngine(model, slots=SLOTS, max_seq=768, bucket=64, kv_quant=KV8)
 total_new = 0
