@@ -34,13 +34,17 @@ from attwarp_tpu.models.clip_vit import CLIP_MEAN, CLIP_STD
 class Qwen2VLBackend:
     def __init__(self, model: Qwen2VLModel, tokenizer=None,
                  extract_layer: int = 20, image_size: int = 448,
-                 kv_quant: bool = False):
+                 kv_quant: bool = False, use_flash: bool = False):
         self.model = model
         self.tokenizer = tokenizer
         self.extract_layer = extract_layer
         # int8 KV cache (CLI suffix '+kv8'): halves decode-cache HBM vs bf16,
         # roughly doubling serving batch capacity (numerics/quant.py)
         self.kv_quant = kv_quant
+        # flash-attention prefill (CLI suffix '+flash'): the same Pallas
+        # kernel as the LLaVA path — M-RoPE only changes cos/sin before
+        # attention, so the kernel is shared (models/qwen2vl.py prefill)
+        self.use_flash = use_flash
         # input side; must be divisible by patch*merge (28)
         unit = model.cfg.vision.patch_size * model.cfg.vision.spatial_merge_size
         assert image_size % unit == 0, (image_size, unit)
@@ -207,7 +211,7 @@ class Qwen2VLBackend:
         gen, maps = self.model.generate_with_attention(
             np.asarray(input_ids), patches, grid, np.asarray(attention_mask),
             extract_layer=self.extract_layer, max_new_tokens=max_new_tokens,
-            kv_quant=self.kv_quant,
+            kv_quant=self.kv_quant, use_flash=self.use_flash,
         )
         return np.asarray(gen), np.asarray(maps)
 
@@ -287,7 +291,7 @@ class Qwen2VLBackend:
         gen, _ = self.model.generate_with_attention(
             padded, patches, per[0][1], mask,
             extract_layer=None, max_new_tokens=max_new_tokens,
-            kv_quant=self.kv_quant,
+            kv_quant=self.kv_quant, use_flash=self.use_flash,
         )
         return self._decode(np.asarray(gen))
 

@@ -38,9 +38,12 @@ from attwarp_tpu.extract.accumulator import accumulate_step, finalize, init_carr
 from attwarp_tpu.models.llama import (
     QuantKVCache,
     _attn_quantcache,
+    _flash_attn,
+    _last_row_probs,
     _repeat_kv,
     _stack_rows,
     extract_layers_tuple,
+    flash_prefill_supported,
     rms_norm,
 )
 from attwarp_tpu.numerics.quant import apply_linear, quantize_kv
@@ -306,15 +309,25 @@ def _mlp(lp, h2):
 def qwen2vl_prefill(
     params, cfg: Qwen2VLTextConfig, inputs_embeds, attention_mask, cos, sin,
     max_seq: int, extract_layer: Optional[int] = None, kv_quant: bool = False,
+    use_flash: bool = False,
 ):
     """Returns (last logits, kv cache (k, v stacked), extract row).
 
     ``kv_quant`` stores the cache int8 (``QuantKVCache``); the prefill's own
     attention still uses exact keys/values, so logits and the extract row
-    are identical — only decode steps read quantized history."""
+    are identical — only decode steps read quantized history.
+
+    ``use_flash`` routes attention through the same Pallas flash kernel as
+    the LLaVA prefill (``models/llama.py::_flash_attn``): M-RoPE only
+    changes the cos/sin applied to q/k BEFORE attention, so the kernel and
+    its left-padding segment-id encoding are shared verbatim; the extract
+    layer's last-row probabilities come from the O(T) ``_last_row_probs``
+    pass, so no (T, T) matrix is materialized. Prompts under 256 tokens
+    fall back to dense (``flash_prefill_supported``)."""
     B, T, _ = inputs_embeds.shape
     causal = jnp.tril(jnp.ones((T, T), bool))[None]
     mask = jnp.logical_and(causal, attention_mask[:, None, :])
+    flash = use_flash and flash_prefill_supported(T)
     x = inputs_embeds
     want = extract_layers_tuple(extract_layer)
     ks, vs, rows = [], [], {}
@@ -322,7 +335,12 @@ def qwen2vl_prefill(
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
         q, k, v = _qkv(lp, cfg, h)
         q, k = _apply_rope(q, k, cos, sin)
-        attn, r = _attn(q, k, v, mask, cfg, want_probs=(i in want))
+        if flash:
+            attn = _flash_attn(q, k, v, attention_mask, cfg)
+            r = (_last_row_probs(q[:, -1], k, mask[:, -1, :], cfg)
+                 if i in want else None)
+        else:
+            attn, r = _attn(q, k, v, mask, cfg, want_probs=(i in want))
         if r is not None:
             rows[i] = r
         x = x + apply_linear(attn, lp["o_proj"])
@@ -465,6 +483,7 @@ class Qwen2VLModel:
     def generate_with_attention(
         self, input_ids, patches, grid_thw, attention_mask,
         extract_layer: int, max_new_tokens: int = 20, kv_quant: bool = False,
+        use_flash: bool = False,
     ):
         """Greedy decode with scan-carried attention accumulation; returns
         (generated ids (B, K), attention maps (B, gh/M, gw/M)).
@@ -492,19 +511,20 @@ class Qwen2VLModel:
             self.params, self.cfg, jnp.asarray(ids), jnp.asarray(patches),
             jnp.asarray(mask_np, bool), jnp.asarray(pos), jnp.asarray(deltas),
             jnp.asarray(img_start), grid_thw, extract_layer, max_new_tokens,
-            side_h, side_w, kv_quant,
+            side_h, side_w, kv_quant, use_flash,
         )
 
 
 @partial(
     jax.jit,
     static_argnames=("cfg", "grid_thw", "extract_layer", "max_new_tokens",
-                     "side_h", "side_w", "kv_quant"),
+                     "side_h", "side_w", "kv_quant", "use_flash"),
 )
 def _qwen_generate_jit(
     params, cfg: Qwen2VLConfig, input_ids, patches, attention_mask,
     positions, deltas, img_start, grid_thw, extract_layer: int,
     max_new_tokens: int, side_h: int, side_w: int, kv_quant: bool = False,
+    use_flash: bool = False,
 ):
     tcfg = cfg.text
     B, T = input_ids.shape
@@ -549,6 +569,7 @@ def _qwen_generate_jit(
     logits, kv, row0 = qwen2vl_prefill(
         params["text"], tcfg, embeds, attention_mask, cos, sin,
         max_seq=max_seq, extract_layer=extract_layer, kv_quant=kv_quant,
+        use_flash=use_flash,
     )
     carry0 = acc(carry_init(), row0)
     tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)

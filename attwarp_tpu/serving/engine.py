@@ -237,9 +237,11 @@ def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts):
 # ── Qwen2-VL family (M-RoPE; per-slot position deltas) ─────────────────
 
 
-@partial(jax.jit, static_argnames=("cfg", "tcfg", "grid_thw", "max_seq", "kv_quant"))
+@partial(jax.jit, static_argnames=("cfg", "tcfg", "grid_thw", "max_seq",
+                                   "kv_quant", "use_flash"))
 def _qwen_prefill(params, cfg, tcfg, ids, mask, patches, positions,
-                  grid_thw, max_seq: int, kv_quant: bool):
+                  grid_thw, max_seq: int, kv_quant: bool,
+                  use_flash: bool = False):
     """Qwen2-VL single-request prefill: vision tower (when patches given) +
     M-RoPE text prefill. ``positions`` (3, 1, Tb) come from
     ``get_mrope_positions`` on the host."""
@@ -260,7 +262,7 @@ def _qwen_prefill(params, cfg, tcfg, ids, mask, patches, positions,
     cos, sin = mrope_cos_sin(positions, tcfg)
     logits, block, _ = qwen2vl_prefill(
         params["text"], tcfg, embeds, mask, cos, sin, max_seq=max_seq,
-        kv_quant=kv_quant,
+        kv_quant=kv_quant, use_flash=use_flash,
     )
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), block
 
@@ -373,8 +375,8 @@ class ServeEngine:
         # second family: Qwen2-VL (M-RoPE positions carry a per-request delta)
         self.family = ("qwen2vl" if hasattr(model.cfg, "vision_start_token_id")
                        else "llava")
-        # Pallas flash prefill (LLaVA family only; long prompts)
-        self.use_flash = use_flash and self.family == "llava"
+        # Pallas flash prefill (both families; engages on long prompts)
+        self.use_flash = use_flash
         if kv_quant:
             self.kv = init_quant_kv_cache(self.tcfg, slots, max_seq)
         elif self.family == "qwen2vl":
@@ -513,7 +515,7 @@ class ServeEngine:
             first, block = _qwen_prefill(
                 self.model.params, self.cfg, self.tcfg, jnp.asarray(ids),
                 jnp.asarray(mask), patches, jnp.asarray(pos), grid, Tb,
-                self.kv_quant,
+                self.kv_quant, self.use_flash,
             )
             # decode positions are (valid_len + generated) + delta_eng with
             # delta_eng re-based to VALID length (get_mrope_positions returns
