@@ -257,6 +257,74 @@ class FullDataset:
         }
 
 
+class MetadataDirDataset:
+    """Training dataset over ONE driver output's ``metadata/`` directory
+    (the ``saved_paths`` contract of ``cli/process_dataset.py``) — the
+    single-dataset complement of ``MixedMetadataDataset`` for training
+    MarginalNet directly on artifacts the driver just produced (the
+    learned-warp evidence chain: driver -> train -> predict_and_warp ->
+    evaluate).
+
+    ``attention_key`` picks the training target: ``"mota"`` (default) is
+    the image-res enhanced mask — the exact quantity the oracle driver
+    warps with (main.py:500-533) — with raw-attention fallback; ``"raw"``
+    forces the raw extracted map.
+    """
+
+    def __init__(self, metadata_dir: str, image_size: Optional[int] = None,
+                 dataset_name: str = "textvqa", attention_key: str = "mota"):
+        self.image_size = int(image_size) if image_size is not None else None
+        self.dataset_name = dataset_name
+        self.attention_key = attention_key
+        self.paths = sorted(
+            os.path.join(metadata_dir, f)
+            for f in os.listdir(metadata_dir) if f.endswith(".json")
+        )
+        if not self.paths:
+            raise FileNotFoundError(f"no metadata JSONs in {metadata_dir}")
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        with open(self.paths[idx], "r") as f:
+            meta = json.load(f)
+        saved = meta.get("saved_paths", {})
+        image = _load_image_rgb(saved["original_image"])
+        keys = (["mota_mask_npy", "raw_attention_map_npy"]
+                if self.attention_key == "mota"
+                else ["raw_attention_map_npy"])
+        attn = None
+        for k in keys:
+            p = saved.get(k)
+            if p and os.path.isfile(p):
+                arr = np.squeeze(np.asarray(np.load(p), np.float32))
+                if arr.ndim == 3:
+                    arr = arr.mean(axis=2)
+                if arr.max() > 1.0:
+                    arr = arr / max(float(arr.max()), 1e-9)
+                attn = np.clip(arr, 0.0, 1.0)
+                break
+        if attn is None:
+            raise FileNotFoundError(f"no attention artifact for {self.paths[idx]}")
+        if self.image_size is not None:
+            image = _resize_np(image, (self.image_size, self.image_size))
+            attn = _resize_np(attn, (self.image_size, self.image_size),
+                              nearest=True)
+        elif attn.shape != image.shape[:2]:
+            attn = _resize_np(attn, image.shape[:2], nearest=True)
+        answers = meta.get("answers", [])
+        return {
+            "image": image,
+            "attention_map": attn,
+            "question": meta.get("question", ""),
+            "answer": answers[0] if answers else "",
+            "dataset": self.dataset_name,
+            "question_id": meta.get("question_id") or meta.get("sample_id"),
+            "bucket": None,
+        }
+
+
 class MixedMetadataDataset:
     """Legacy per-sample ``*_metadata.json`` dataset over the drivers'
     ``saved_paths`` contract (dataloader.py:275-402)."""

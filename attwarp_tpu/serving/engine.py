@@ -143,7 +143,7 @@ def _upd_slot(cache, new, layer, cur_lens):
 @partial(jax.jit, static_argnames=("cfg", "k_steps", "top_k"), donate_argnums=(3,))
 def _step_chunk(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts,
                 keys, temps, k_steps: int, top_k: int = 0):
-    """Advance every slot ``k_steps`` tokens in ONE dispatch (lax.scan).
+    """Advance every slot ``k_steps`` tokens in ONE dispatch (UNROLLED).
 
     Dispatch latency dominates a per-token host loop (through the remote
     relay a single short program costs ~200 ms; even locally, jit dispatch
@@ -151,19 +151,22 @@ def _step_chunk(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts,
     chunks: finished slots keep generating discarded tokens for the rest of
     the chunk (≤ k_steps-1 wasted steps per request) and the host truncates
     at EOS/max_new. Token choice is per-slot greedy or temperature/top-k
-    sampling (``_sample_tokens``). Returns (chunk (k_steps, B), kv,
+    sampling (``_sample_tokens``).
+
+    The chunk is a PYTHON-UNROLLED loop, not ``lax.scan``: a scan carries
+    the KV cache as loop state, and XLA double-buffers loop carries — two
+    live copies of the donated cache, which is what made decode B=32 OOM
+    (round-2 VERDICT). Unrolled, the per-step scatter writes chain through
+    one buffer and donation holds end to end; ``k_steps`` is small (8), so
+    program size stays modest. Returns (chunk (k_steps, B), kv,
     cur_lens+k_steps, keys)."""
-
-    def body(carry, _):
-        tokens, kv, cur_lens, keys = carry
+    chunk = []
+    for _ in range(k_steps):
         logits, kv = _step(params, cfg, tokens, kv, cur_lens, starts)
-        nxt, keys = _sample_tokens(logits, keys, temps, top_k)
-        return (nxt, kv, cur_lens + 1, keys), nxt
-
-    (_, kv, cur_lens, keys), chunk = jax.lax.scan(
-        body, (tokens, kv, cur_lens, keys), None, length=k_steps
-    )
-    return chunk, kv, cur_lens, keys
+        tokens, keys = _sample_tokens(logits, keys, temps, top_k)
+        cur_lens = cur_lens + 1
+        chunk.append(tokens)
+    return jnp.stack(chunk), kv, cur_lens, keys
 
 
 def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts):
@@ -317,16 +320,15 @@ def _qwen_step_chunk(params, cfg, tokens, kv, cur_lens, starts, deltas,
         logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
         return logits, new
 
-    def body(carry, _):
-        tokens, kv, cur_lens, keys = carry
+    # unrolled like _step_chunk: a lax.scan carry double-buffers the donated
+    # cache (two live copies — the round-2 B=32 OOM)
+    chunk = []
+    for _ in range(k_steps):
         logits, kv = one(tokens, kv, cur_lens)
-        nxt, keys = _sample_tokens(logits, keys, temps, top_k)
-        return (nxt, kv, cur_lens + 1, keys), nxt
-
-    (_, kv, cur_lens, keys), chunk = jax.lax.scan(
-        body, (tokens, kv, cur_lens, keys), None, length=k_steps
-    )
-    return chunk, kv, cur_lens, keys
+        tokens, keys = _sample_tokens(logits, keys, temps, top_k)
+        cur_lens = cur_lens + 1
+        chunk.append(tokens)
+    return jnp.stack(chunk), kv, cur_lens, keys
 
 
 # ── engine ──────────────────────────────────────────────────────────────

@@ -184,6 +184,71 @@ class ReaderBackend:
         return best
 
 
+class ReaderFeatureExtractor:
+    """Frozen-feature extractor matching the reader proxy's perception —
+    the ``LLaVAFeatHelper`` contract (``extract/features.py``) for the
+    learned-warp evidence chain.
+
+    Visual tokens are per-patch statistics of the reader's own LOW-RES view
+    (mean intensity + two local-contrast scales — the same signal the
+    reader's saliency uses), pooled to the 24×24 MarginalNet grid and
+    projected by a FIXED seeded random matrix (frozen weights, like a real
+    frozen tower). Text tokens are fixed seeded hash embeddings. Nothing
+    here is trained: MarginalNet must learn attention prediction from
+    frozen features, exactly as in the reference (trainer.py:103,205-207).
+    """
+
+    def __init__(self, view_size: int = 128, dv: int = 32, dt: int = 16,
+                 seed: int = 7):
+        self.view_size = view_size
+        rng = np.random.default_rng(seed)
+        self.proj = rng.standard_normal((3, dv)).astype(np.float32) / np.sqrt(3)
+        self.txt_table = rng.standard_normal((1024, dt)).astype(np.float32)
+
+    def visual_tokens(self, images) -> np.ndarray:
+        """(B, H, W, 3) float [0,1] -> (B, 24, 24, Dv)."""
+        from attwarp_tpu.extract.extraction import _resize_for_backend
+        from attwarp_tpu.numerics.pooling import adaptive_avg_pool2d
+
+        import jax.numpy as jnp
+
+        grid = 24
+        feats = []
+        for b in range(np.asarray(images).shape[0]):
+            view = _resize_for_backend(np.asarray(images[b]), self.view_size)
+            gray = np.asarray(view, np.float32).mean(axis=-1)
+            if gray.max() > 1.5:
+                gray = gray / 255.0
+            chans = np.stack(
+                [gray, _local_std(gray, 3), _local_std(gray, 7)], axis=-1
+            )  # (S, S, 3)
+            pooled = np.asarray(adaptive_avg_pool2d(
+                jnp.asarray(chans.transpose(2, 0, 1))[None], (grid, grid)
+            ))[0].transpose(1, 2, 0)  # (24, 24, 3)
+            feats.append(pooled @ self.proj)
+        return np.stack(feats).astype(np.float32)
+
+    def text_tokens(self, texts, max_len: int = 16):
+        """list[str] -> (ttok (B, Lt, Dt), tmask (B, Lt, 1))."""
+        B = len(texts)
+        dt = self.txt_table.shape[1]
+        ttok = np.zeros((B, max_len, dt), np.float32)
+        tmask = np.zeros((B, max_len, 1), np.float32)
+        for b, t in enumerate(texts):
+            words = str(t).lower().split()[:max_len]
+            pad = max_len - len(words)
+            for i, w in enumerate(words):
+                # stable non-salted hash (zlib.crc32) so features are
+                # deterministic across processes
+                import zlib
+
+                ttok[b, pad + i] = self.txt_table[
+                    zlib.crc32(w.encode()) % len(self.txt_table)
+                ]
+                tmask[b, pad + i] = 1.0
+        return ttok, tmask
+
+
 def write_textvqa_dataset(
     out_dir: str,
     n: int,

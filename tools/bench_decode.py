@@ -30,7 +30,10 @@ if KV8:
     MODE = MODE[: -len("+kv8")]
 cfg = LlamaConfig()  # 7B: 4096 / 11008 / 32 layers / 32 heads, vocab 32000
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-T_CTX, STEPS = 640, 32
+T_CTX = 640
+# 16 unrolled steps: enough timed work to swamp relay timing noise
+# (>=250 ms at B>=8) while keeping the unrolled program's compile bounded
+STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 MAX_SEQ = T_CTX + STEPS
 key = jax.random.PRNGKey(0)
 
@@ -83,19 +86,22 @@ emb0 = jax.random.normal(kshape(), (B, 1, D), jnp.bfloat16)
 
 
 @partial(jax.jit, donate_argnums=(2,))   # donate the cache: in real serving
-def run(params, emb0, kv):               # it lives inside one jit (prefill->
-                                         # scan), so only one copy exists
-    def body(carry, _):
-        emb, kv = carry
+def run(params, emb0, kv):               # it lives inside one jit, so only
+                                         # one copy exists
+    # UNROLLED chain (argmax -> embed feeds the next step), not lax.scan:
+    # a scan carries the cache as loop state and XLA double-buffers loop
+    # carries — two live cache copies, which both skewed the measurement
+    # and OOM'd B=32 (the serving engine's chunk step was unrolled for the
+    # same reason; round-3 change)
+    emb, probe = emb0, jnp.float32(0)
+    for _ in range(STEPS):
         logits, kv, _ = llama_decode_step(
             params, cfg, emb, kv, jnp.int32(T_CTX), positions, kv_mask
         )
         nxt = jnp.argmax(logits, axis=-1)
         emb = params["embed_tokens"][nxt][:, None, :]
-        return (emb, kv), logits[0, 0]
-
-    (emb, kv), probe = jax.lax.scan(body, (emb0, kv), jnp.arange(STEPS))
-    return emb[0, 0, 0] + probe.sum(), kv
+        probe = probe + logits[0, 0]
+    return emb[0, 0, 0] + probe, kv
 
 
 out, kv = run(params, emb0, kv)
