@@ -140,10 +140,12 @@ def _upd_slot(cache, new, layer, cur_lens):
     return cache.at[layer, jnp.arange(B), cur_lens].set(new[:, 0])
 
 
-@partial(jax.jit, static_argnames=("cfg", "k_steps", "top_k"), donate_argnums=(3,))
+@partial(jax.jit, static_argnames=("cfg", "k_steps", "top_k", "unroll"),
+         donate_argnums=(3,))
 def _step_chunk(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts,
-                keys, temps, k_steps: int, top_k: int = 0):
-    """Advance every slot ``k_steps`` tokens in ONE dispatch (UNROLLED).
+                keys, temps, k_steps: int, top_k: int = 0,
+                unroll: bool = False):
+    """Advance every slot ``k_steps`` tokens in ONE dispatch.
 
     Dispatch latency dominates a per-token host loop (through the remote
     relay a single short program costs ~200 ms; even locally, jit dispatch
@@ -153,20 +155,33 @@ def _step_chunk(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts,
     at EOS/max_new. Token choice is per-slot greedy or temperature/top-k
     sampling (``_sample_tokens``).
 
-    The chunk is a PYTHON-UNROLLED loop, not ``lax.scan``: a scan carries
-    the KV cache as loop state, and XLA double-buffers loop carries — two
-    live copies of the donated cache, which is what made decode B=32 OOM
-    (round-2 VERDICT). Unrolled, the per-step scatter writes chain through
-    one buffer and donation holds end to end; ``k_steps`` is small (8), so
-    program size stays modest. Returns (chunk (k_steps, B), kv,
-    cur_lens+k_steps, keys)."""
-    chunk = []
-    for _ in range(k_steps):
+    ``unroll`` picks the loop form (same math either way; token-parity
+    tested for both): ``lax.scan`` carries the cache as loop state, and XLA
+    double-buffers loop carries — TWO live copies of the donated cache,
+    which is what OOM'd ≥24 slots at 7B (round-2 VERDICT). The Python-
+    unrolled form chains the scatter writes through one buffer so big slot
+    pools fit, at a measured ~5-10%% step-time cost at ≤16 slots (larger
+    program schedules slightly worse). ``ServeEngine`` picks per pool size.
+    Returns (chunk (k_steps, B), kv, cur_lens+k_steps, keys)."""
+    if unroll:
+        chunk = []
+        for _ in range(k_steps):
+            logits, kv = _step(params, cfg, tokens, kv, cur_lens, starts)
+            tokens, keys = _sample_tokens(logits, keys, temps, top_k)
+            cur_lens = cur_lens + 1
+            chunk.append(tokens)
+        return jnp.stack(chunk), kv, cur_lens, keys
+
+    def body(carry, _):
+        tokens, kv, cur_lens, keys = carry
         logits, kv = _step(params, cfg, tokens, kv, cur_lens, starts)
-        tokens, keys = _sample_tokens(logits, keys, temps, top_k)
-        cur_lens = cur_lens + 1
-        chunk.append(tokens)
-    return jnp.stack(chunk), kv, cur_lens, keys
+        nxt, keys = _sample_tokens(logits, keys, temps, top_k)
+        return (nxt, kv, cur_lens + 1, keys), nxt
+
+    (_, kv, cur_lens, keys), chunk = jax.lax.scan(
+        body, (tokens, kv, cur_lens, keys), None, length=k_steps
+    )
+    return chunk, kv, cur_lens, keys
 
 
 def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts):
@@ -270,9 +285,11 @@ def _qwen_prefill(params, cfg, tcfg, ids, mask, patches, positions,
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), block
 
 
-@partial(jax.jit, static_argnames=("cfg", "k_steps", "top_k"), donate_argnums=(3,))
+@partial(jax.jit, static_argnames=("cfg", "k_steps", "top_k", "unroll"),
+         donate_argnums=(3,))
 def _qwen_step_chunk(params, cfg, tokens, kv, cur_lens, starts, deltas,
-                     keys, temps, k_steps: int, top_k: int = 0):
+                     keys, temps, k_steps: int, top_k: int = 0,
+                     unroll: bool = False):
     """Chunked Qwen decode: all three M-RoPE streams share the text position
     ``(cur_len - start) + delta`` per slot (HF get_rope_index semantics for
     tokens after the prompt)."""
@@ -320,15 +337,28 @@ def _qwen_step_chunk(params, cfg, tokens, kv, cur_lens, starts, deltas,
         logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
         return logits, new
 
-    # unrolled like _step_chunk: a lax.scan carry double-buffers the donated
-    # cache (two live copies — the round-2 B=32 OOM)
-    chunk = []
-    for _ in range(k_steps):
+    # same scan/unroll split as _step_chunk (scan double-buffers the
+    # donated cache — the round-2 big-pool OOM; unroll trades a little
+    # step time for fitting)
+    if unroll:
+        chunk = []
+        for _ in range(k_steps):
+            logits, kv = one(tokens, kv, cur_lens)
+            tokens, keys = _sample_tokens(logits, keys, temps, top_k)
+            cur_lens = cur_lens + 1
+            chunk.append(tokens)
+        return jnp.stack(chunk), kv, cur_lens, keys
+
+    def body(carry, _):
+        tokens, kv, cur_lens, keys = carry
         logits, kv = one(tokens, kv, cur_lens)
-        tokens, keys = _sample_tokens(logits, keys, temps, top_k)
-        cur_lens = cur_lens + 1
-        chunk.append(tokens)
-    return jnp.stack(chunk), kv, cur_lens, keys
+        nxt, keys = _sample_tokens(logits, keys, temps, top_k)
+        return (nxt, kv, cur_lens + 1, keys), nxt
+
+    (_, kv, cur_lens, keys), chunk = jax.lax.scan(
+        body, (tokens, kv, cur_lens, keys), None, length=k_steps
+    )
+    return chunk, kv, cur_lens, keys
 
 
 # ── engine ──────────────────────────────────────────────────────────────
@@ -363,7 +393,7 @@ class ServeEngine:
     def __init__(self, model, slots: int = 8, max_seq: int = 768,
                  bucket: int = 64, kv_quant: bool = False,
                  steps_per_tick: int = 8, top_k: int = 0, seed: int = 0,
-                 use_flash: bool = False):
+                 use_flash: bool = False, chunk_impl: str = "auto"):
         self.model = model
         self.cfg = model.cfg
         self.tcfg = model.cfg.text
@@ -389,6 +419,21 @@ class ServeEngine:
         else:
             self.kv = init_kv_cache(self.tcfg, slots, max_seq,
                                     dtype=self._cache_dtype())
+        # chunk loop form: lax.scan is ~5-10% faster per step but XLA
+        # double-buffers the carry, keeping TWO live copies of the cache —
+        # "auto" switches to the unrolled form when a second copy (plus the
+        # weights) would no longer fit comfortably in one v5e's 16 GiB HBM
+        if chunk_impl not in ("auto", "scan", "unroll"):
+            raise ValueError(f"unknown chunk_impl {chunk_impl!r}")
+        if chunk_impl == "auto":
+            nbytes = sum(
+                x.size * x.dtype.itemsize
+                for x in jax.tree_util.tree_leaves((self.kv, model.params))
+            ) + sum(x.size * x.dtype.itemsize
+                    for x in jax.tree_util.tree_leaves(self.kv))
+            self.chunk_unroll = nbytes > 14 * 2**30
+        else:
+            self.chunk_unroll = chunk_impl == "unroll"
         self._slots = [_Slot() for _ in range(slots)]
         self.tokens = np.zeros((slots,), np.int32)
         self.cur_lens = np.zeros((slots,), np.int32)
@@ -551,7 +596,7 @@ class ServeEngine:
                 jnp.asarray(self.tokens), self.kv, jnp.asarray(self.cur_lens),
                 jnp.asarray(self.starts), jnp.asarray(self.deltas),
                 jnp.asarray(self.keys), jnp.asarray(self.temps), K,
-                self.top_k,
+                self.top_k, self.chunk_unroll,
             )
             self.keys = np.array(keys)  # writable host copy
         else:
@@ -559,7 +604,7 @@ class ServeEngine:
                 self.model.params["llama"], self.tcfg,
                 jnp.asarray(self.tokens), self.kv, jnp.asarray(self.cur_lens),
                 jnp.asarray(self.starts), jnp.asarray(self.keys),
-                jnp.asarray(self.temps), K, self.top_k,
+                jnp.asarray(self.temps), K, self.top_k, self.chunk_unroll,
             )
             self.keys = np.array(keys)  # writable host copy
         # ONE host round-trip fetches the chunk AND any pending admissions'

@@ -69,15 +69,19 @@ def _mk_request(rng, T, n_img=4):
     return ids, pixels
 
 
-@pytest.mark.parametrize("kv_quant,steps_per_tick", [
-    (False, 1), (False, 4), (True, 4),
+@pytest.mark.parametrize("kv_quant,steps_per_tick,chunk_impl", [
+    (False, 1, "auto"), (False, 4, "auto"), (True, 4, "auto"),
+    (False, 4, "unroll"), (True, 4, "unroll"),
 ])
-def test_engine_matches_per_request_generate(model, rng, kv_quant, steps_per_tick):
+def test_engine_matches_per_request_generate(model, rng, kv_quant,
+                                             steps_per_tick, chunk_impl):
     """More requests than slots, mixed prompt lengths: every request's
     greedy tokens equal its individual generate (continuous batching and
-    chunked decoding do not change any request's math)."""
+    chunked decoding do not change any request's math — for BOTH chunk
+    loop forms, scan and unrolled)."""
     eng = ServeEngine(model, slots=2, max_seq=96, bucket=16,
-                      kv_quant=kv_quant, steps_per_tick=steps_per_tick)
+                      kv_quant=kv_quant, steps_per_tick=steps_per_tick,
+                      chunk_impl=chunk_impl)
     reqs = []
     for T in (10, 13, 17, 9, 21):
         ids, px = _mk_request(rng, T)
@@ -302,7 +306,7 @@ def test_tick_retires_on_chunk_final_eos(model, rng, monkeypatch):
     eos = eng.cfg.eos_token_id
 
     def fake_chunk(params, cfg, tokens, kv, cur_lens, starts, keys, temps,
-                   k_steps, top_k=0):
+                   k_steps, top_k=0, unroll=False):
         # one non-EOS token, then EOS exactly at the chunk boundary
         return (jnp.asarray([[5], [eos]], jnp.int32), kv,
                 cur_lens + k_steps, keys)

@@ -8,7 +8,7 @@ comparable internal number is tools/bench_decode.py's fixed-batch decode
 without continuous batching — this measures how close the engine gets with
 admission/harvest overhead included.
 
-Run:  PYTHONPATH=.:$PYTHONPATH python tools/bench_serve.py bf16|int8[+kv8] [slots] [requests]
+Run:  PYTHONPATH=.:$PYTHONPATH python tools/bench_serve.py bf16|int8[+kv8] [slots] [requests] [max_new] [chunk_impl]
 """
 import sys
 import time
@@ -29,6 +29,7 @@ if KV8:
 SLOTS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 N_REQ = int(sys.argv[3]) if len(sys.argv) > 3 else 24
 MAX_NEW = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+CHUNK = sys.argv[5] if len(sys.argv) > 5 else "auto"
 
 cfg = LlavaConfig(vision=ClipVisionConfig(), text=LlamaConfig(),
                   image_token_index=32000)
@@ -68,19 +69,22 @@ model = LlavaModel(cfg, params)
 rng = np.random.default_rng(0)
 
 label = MODE + ("+kv8" if KV8 else "")
-print(f"engine: {label}, slots={SLOTS}, requests={N_REQ}, max_new={MAX_NEW}")
+print(f"engine: {label}, slots={SLOTS}, requests={N_REQ}, max_new={MAX_NEW}, "
+      f"chunk={CHUNK}")
 
 # warm the compiles (one prefill bucket + the step) with a tiny run,
 # then drop the warm-up engine's KV cache BEFORE allocating the measured
 # one: two live caches double HBM (~6 GiB at 7B dense bf16 next to 13 GiB
 # of weights) and distort capacity comparisons
-warm = ServeEngine(model, slots=SLOTS, max_seq=768, bucket=64, kv_quant=KV8)
+warm = ServeEngine(model, slots=SLOTS, max_seq=768, bucket=64, kv_quant=KV8,
+                   chunk_impl=CHUNK)
 ids = rng.integers(3, 31999, size=(600,)).astype(np.int64)
 warm.submit(ids, None, max_new_tokens=2)
 warm.run()
 del warm
 
-eng = ServeEngine(model, slots=SLOTS, max_seq=768, bucket=64, kv_quant=KV8)
+eng = ServeEngine(model, slots=SLOTS, max_seq=768, bucket=64, kv_quant=KV8,
+                  chunk_impl=CHUNK)
 total_new = 0
 for _ in range(N_REQ):
     T = int(rng.integers(577, 640))   # one 64-token bucket (=> 640)
