@@ -16,9 +16,12 @@ shardings like every other jitted consumer):
   ``[start, cur_len)`` the prompt, and rope positions are
   ``cur_len - start`` (cache position minus the pad offset) — see
   ``_prefill_into``.
-- **Admission**: each request is prefilled alone at its 64-token length
-  bucket (one compilation per bucket) and its K/V block is inserted into a
-  free slot; the first generated token comes from the prefill logits.
+- **Admission**: queued requests are BATCHED by 64-token length bucket and
+  prefilled together (one compilation per (bucket, power-of-two group
+  size), groups capped at ``admit_batch``); the K/V blocks are inserted
+  into free slots in one dispatch and the first generated tokens come from
+  the prefill logits. (Qwen2-VL admits per request — per-request vision
+  grids and M-RoPE deltas.)
 - **Step**: one jit advances every slot: per-slot rope position and
   per-slot cache write position (vmapped ``dynamic_update_slice``), masked
   attention over each slot's own prefix, greedy argmax. Inactive slots
@@ -89,6 +92,35 @@ def _insert_dense(cache: LlamaKVCache, block: LlamaKVCache, slot, cfg):
     v = jax.lax.dynamic_update_slice(cache.v, block.v.astype(cache.v.dtype),
                                      (0, slot, 0, 0, 0))
     return LlamaKVCache(k, v)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _insert_dense_group(cache: LlamaKVCache, block: LlamaKVCache, slots, cfg):
+    """Write a BATCHED prefill block (L, n, Tb, H, D) into ``n`` slots in
+    one dispatch (``slots``: (n,) traced slot indices; n is static via the
+    block shape). One compilation per (bucket, group size)."""
+    k, v = cache.k, cache.v
+    for j in range(block.k.shape[1]):
+        k = jax.lax.dynamic_update_slice(
+            k, block.k[:, j:j + 1].astype(k.dtype), (0, slots[j], 0, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            v, block.v[:, j:j + 1].astype(v.dtype), (0, slots[j], 0, 0, 0))
+    return LlamaKVCache(k, v)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _insert_quant_group(cache: QuantKVCache, block: QuantKVCache, slots, cfg):
+    def ins_all(big, small):
+        zeros = (0,) * (big.ndim - 2)
+        for j in range(small.shape[1]):
+            big = jax.lax.dynamic_update_slice(
+                big, small[:, j:j + 1], (0, slots[j], *zeros))
+        return big
+
+    return QuantKVCache(
+        ins_all(cache.k_q, block.k_q), ins_all(cache.k_s, block.k_s),
+        ins_all(cache.v_q, block.v_q), ins_all(cache.v_s, block.v_s),
+    )
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -393,7 +425,8 @@ class ServeEngine:
     def __init__(self, model, slots: int = 8, max_seq: int = 768,
                  bucket: int = 64, kv_quant: bool = False,
                  steps_per_tick: int = 8, top_k: int = 0, seed: int = 0,
-                 use_flash: bool = False, chunk_impl: str = "auto"):
+                 use_flash: bool = False, chunk_impl: str = "auto",
+                 admit_batch: int = 4):
         self.model = model
         self.cfg = model.cfg
         self.tcfg = model.cfg.text
@@ -404,6 +437,13 @@ class ServeEngine:
         # tokens decoded per dispatch: amortizes jit-dispatch/relay latency
         # at the cost of ≤ steps_per_tick-1 discarded steps per finished slot
         self.steps_per_tick = max(1, steps_per_tick)
+        # max requests prefilled in ONE batched admission call. A single
+        # 640-token prefill is already ~80% MXU-bound, so batching saves
+        # dispatch/sync overhead, not much compute — while the returned KV
+        # block costs (L, n, Tb, H, hd) HBM next to the resident cache
+        # (n=8 dense at 7B = 2.7 GiB, which OOM'd beside a 16-slot dense
+        # cache). 4 balances the two.
+        self.admit_batch = max(1, admit_batch)
         # second family: Qwen2-VL (M-RoPE positions carry a per-request delta)
         self.family = ("qwen2vl" if hasattr(model.cfg, "vision_start_token_id")
                        else "llava")
@@ -495,20 +535,80 @@ class ServeEngine:
 
     # ── internals ──────────────────────────────────────────────────────
     def _admit(self):
-        """NON-BLOCKING admission: dispatch prefill+insert for every free
-        slot (jax dispatch is async) and record the unfetched first-token
-        arrays; they are synced TOGETHER with the next tick's chunk, so a
-        mid-run admission never stalls the other slots' decoding. A pending
-        slot is skipped by the harvest until activation (its chunk columns
-        are garbage the masks make unreachable, like a retired slot's)."""
-        for b, slot in enumerate(self._slots):
-            if slot.active or slot.pending or not self.queue:
-                continue
+        """NON-BLOCKING BATCHED admission: queued requests for every free
+        slot are grouped by (length bucket, has-image) and prefilled in ONE
+        jitted call per group chunk (a wave of 16 single prefills cost
+        ~16×65 ms serialized; batched it's one ~B-efficient prefill — the
+        measured serving bottleneck after the decode rework). First-token
+        arrays stay unfetched and are synced TOGETHER with the next tick's
+        chunk, so a mid-run admission never stalls the other slots'
+        decoding. A pending slot is skipped by the harvest until activation
+        (its chunk columns are garbage the masks make unreachable). Group
+        chunks use power-of-two sizes capped at ``admit_batch`` so the
+        prefill compiles once per (bucket, size), not per arrival count.
+
+        The Qwen2-VL family keeps per-request admission (per-request vision
+        grids / M-RoPE deltas)."""
+        free = [b for b, s in enumerate(self._slots)
+                if not (s.active or s.pending)]
+        n = min(len(free), len(self.queue))
+        if n == 0:
+            return
+        pairs = []
+        for b in free[:n]:
             req = self.queue.popleft()
-            first = self._prefill_into(b, req)
-            slot.pending = True
-            slot.rid = req.rid
-            self._pending.append((b, req, first))
+            self._slots[b].pending = True
+            self._slots[b].rid = req.rid
+            pairs.append((b, req))
+        if self.family == "qwen2vl":
+            for b, req in pairs:
+                first = self._prefill_into(b, req)
+                self._pending.append((b, req, first))
+            return
+        groups: Dict[Tuple[int, bool], List] = {}
+        for b, req in pairs:
+            T = len(req.input_ids)
+            assert T <= self.max_seq - 1, (T, self.max_seq)
+            Tb = min(-(-T // self.bucket) * self.bucket, self.max_seq)
+            groups.setdefault((Tb, req.pixel_values is not None),
+                              []).append((b, req))
+        for (Tb, with_image), members in groups.items():
+            i = 0
+            while i < len(members):
+                size = 1 << ((len(members) - i).bit_length() - 1)
+                size = min(size, self.admit_batch)
+                self._prefill_group(Tb, with_image, members[i:i + size])
+                i += size
+
+    def _prefill_group(self, Tb: int, with_image: bool, chunk) -> None:
+        """One batched prefill + one grouped insert for ``chunk`` =
+        [(slot, request), ...] sharing a length bucket."""
+        n = len(chunk)
+        ids = np.zeros((n, Tb), np.int64)
+        mask = np.zeros((n, Tb), bool)
+        for j, (b, req) in enumerate(chunk):
+            pad = Tb - len(req.input_ids)
+            ids[j, pad:] = req.input_ids
+            mask[j, pad:] = True
+            self.cur_lens[b] = Tb
+            self.starts[b] = pad
+        pixels = (
+            jnp.asarray(np.stack([r.pixel_values for _, r in chunk]),
+                        jnp.float32)
+            if with_image else jnp.zeros((n, 1, 1, 3), jnp.float32)
+        )
+        firsts, block = _prefill(
+            self.model.params, self.cfg, self.tcfg, jnp.asarray(ids),
+            jnp.asarray(mask), pixels, Tb, self.kv_quant, with_image,
+            self.use_flash,
+        )
+        slots_idx = jnp.asarray([b for b, _ in chunk], jnp.int32)
+        if self.kv_quant:
+            self.kv = _insert_quant_group(self.kv, block, slots_idx, self.tcfg)
+        else:
+            self.kv = _insert_dense_group(self.kv, block, slots_idx, self.tcfg)
+        for j, (b, req) in enumerate(chunk):
+            self._pending.append((b, req, firsts[j:j + 1]))
 
     def _activate_pending(self, firsts):
         import time as _time

@@ -23,6 +23,8 @@ from attwarp_tpu.models.llava import LlavaConfig, LlavaModel
 from attwarp_tpu.serving import ServeEngine
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "int8+kv8"
+FLASH = "+flash" in MODE
+MODE = MODE.replace("+flash", "")
 KV8 = MODE.endswith("+kv8")
 if KV8:
     MODE = MODE[: -len("+kv8")]
@@ -30,6 +32,11 @@ SLOTS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 N_REQ = int(sys.argv[3]) if len(sys.argv) > 3 else 24
 MAX_NEW = int(sys.argv[4]) if len(sys.argv) > 4 else 32
 CHUNK = sys.argv[5] if len(sys.argv) > 5 else "auto"
+TICK = int(sys.argv[6]) if len(sys.argv) > 6 else 8
+ADMIT = int(sys.argv[7]) if len(sys.argv) > 7 else 4
+# size the slot cache from the workload: 640-token prompt bucket + answer +
+# chunk slack, rounded up to 16 (768 for the classic 96-new config)
+MAX_SEQ = -(-(640 + MAX_NEW + TICK) // 16) * 16
 
 cfg = LlavaConfig(vision=ClipVisionConfig(), text=LlamaConfig(),
                   image_token_index=32000)
@@ -68,23 +75,29 @@ params = {"llama": {
 model = LlavaModel(cfg, params)
 rng = np.random.default_rng(0)
 
-label = MODE + ("+kv8" if KV8 else "")
+label = MODE + ("+kv8" if KV8 else "") + ("+flash" if FLASH else "")
 print(f"engine: {label}, slots={SLOTS}, requests={N_REQ}, max_new={MAX_NEW}, "
-      f"chunk={CHUNK}")
+      f"chunk={CHUNK}, tick={TICK}, admit={ADMIT}, max_seq={MAX_SEQ}")
 
 # warm the compiles (one prefill bucket + the step) with a tiny run,
 # then drop the warm-up engine's KV cache BEFORE allocating the measured
 # one: two live caches double HBM (~6 GiB at 7B dense bf16 next to 13 GiB
 # of weights) and distort capacity comparisons
-warm = ServeEngine(model, slots=SLOTS, max_seq=768, bucket=64, kv_quant=KV8,
-                   chunk_impl=CHUNK)
-ids = rng.integers(3, 31999, size=(600,)).astype(np.int64)
-warm.submit(ids, None, max_new_tokens=2)
+warm = ServeEngine(model, slots=SLOTS, max_seq=MAX_SEQ, bucket=64, kv_quant=KV8,
+                   chunk_impl=CHUNK, steps_per_tick=TICK, use_flash=FLASH,
+                  admit_batch=ADMIT)
+# warm every batched-admission group size (8+4+2+1 when admit_batch=8) on
+# top of the chunk step, so no compile lands inside the measured run
+n_warm = min(2 * SLOTS - 1, 15)
+for _ in range(n_warm):
+    ids = rng.integers(3, 31999, size=(600,)).astype(np.int64)
+    warm.submit(ids, None, max_new_tokens=2)
 warm.run()
 del warm
 
-eng = ServeEngine(model, slots=SLOTS, max_seq=768, bucket=64, kv_quant=KV8,
-                  chunk_impl=CHUNK)
+eng = ServeEngine(model, slots=SLOTS, max_seq=MAX_SEQ, bucket=64, kv_quant=KV8,
+                  chunk_impl=CHUNK, steps_per_tick=TICK, use_flash=FLASH,
+                  admit_batch=ADMIT)
 total_new = 0
 for _ in range(N_REQ):
     T = int(rng.integers(577, 640))   # one 64-token bucket (=> 640)
