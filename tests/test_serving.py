@@ -366,3 +366,35 @@ def test_engine_text_only_requests(model, rng):
     rid = eng.submit(ids, None, max_new_tokens=4)
     out = eng.run()
     assert rid in out and 1 <= len(out[rid]) <= 4
+
+
+def test_batched_admission_grouping(model, rng, monkeypatch):
+    """Admission groups by (length bucket, has-image) and splits each group
+    into power-of-two chunks capped at admit_batch — and the batched
+    prefill changes no request's tokens."""
+    eng = ServeEngine(model, slots=8, max_seq=96, bucket=16, admit_batch=2)
+    calls = []
+    real = ServeEngine._prefill_group
+
+    def spy(self, Tb, with_image, chunk):
+        calls.append((Tb, with_image, len(chunk)))
+        return real(self, Tb, with_image, chunk)
+
+    monkeypatch.setattr(ServeEngine, "_prefill_group", spy)
+    reqs = []
+    # 5 requests in bucket 16, 2 in bucket 32, 1 text-only in bucket 16
+    for T in (10, 13, 9, 11, 12, 17, 21):
+        ids, px = _mk_request(rng, T)
+        reqs.append((eng.submit(ids, px, max_new_tokens=4), ids, px))
+    tid = eng.submit(rng.integers(3, 90, size=(8,)).astype(np.int64), None,
+                     max_new_tokens=4)
+    out = eng.run()
+    # first admission wave fills all 8 slots in 5 grouped prefills:
+    # bucket-16-with-image 5 reqs -> chunks 2+2+1, bucket-32 2 reqs -> one
+    # chunk of 2, text-only bucket-16 -> its own group of 1
+    assert sorted(calls[:5]) == [(16, False, 1), (16, True, 1),
+                                 (16, True, 2), (16, True, 2), (32, True, 2)]
+    assert all(c[2] <= 2 for c in calls)          # admit_batch respected
+    assert tid in out
+    for rid, ids, px in reqs:
+        assert out[rid] == _reference_tokens(model, ids, px, 4)
