@@ -45,7 +45,21 @@ def _first_defined(*vals):
     return None
 
 
+@jax.jit
+def _clip_normalize_device(x: jnp.ndarray) -> jnp.ndarray:
+    """CLIP normalization of an already-resized [0,1] batch ON DEVICE — the
+    fast path for callers that keep pixels device-resident (AttWarpPipeline)
+    instead of paying a host round trip per image."""
+    return (x - jnp.asarray(CLIP_MEAN, jnp.float32)) / jnp.asarray(
+        CLIP_STD, jnp.float32
+    )
+
+
 class LlavaBackend:
+    # `_prepare` accepts a device-resident (B, image_size, image_size, C)
+    # [0,1] float batch in place of raw host images (see AttWarpPipeline)
+    supports_device_pixels = True
+
     def __init__(self, model: LlavaModel, tokenizer=None, image_processor=None,
                  extract_layer: int = 20, use_flash: bool = False,
                  kv_quant: bool = False):
@@ -251,7 +265,16 @@ class LlavaBackend:
         padded, mask = left_pad(
             ids_list, pad_id=self.model.cfg.pad_token_id, bucket=64
         )
-        pixels = np.stack([self._preprocess(im) for im in images])
+        if (
+            isinstance(images, jnp.ndarray)
+            and images.ndim == 4
+            and images.shape[1] == images.shape[2] == self.image_size
+        ):
+            # device-resident pre-resized [0,1] batch: normalize on device,
+            # skip the per-image host preprocess entirely
+            pixels = _clip_normalize_device(images)
+        else:
+            pixels = np.stack([self._preprocess(im) for im in images])
         return np.asarray(padded), np.asarray(mask), pixels
 
     def _decode(self, gen: np.ndarray) -> List[str]:

@@ -23,9 +23,34 @@ from typing import List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
+import jax
+
 from attwarp_tpu.warp.blend import mota_mask
 from attwarp_tpu.warp.transforms import Transform, WarpParams
 from attwarp_tpu.warp.warp import warp_batch_by_attention
+
+
+@partial(
+    jax.jit,
+    static_argnames=("out_hw", "S", "enhance_coe", "kernel_size", "quantize",
+                     "params"),
+)
+def _mask_warp_fused(maps, imgs255, out_hw, S, enhance_coe, kernel_size,
+                     quantize, params):
+    """MOTA masks for a whole shape group plus the batched warp in ONE
+    device program: no image-size mask ever crosses the host boundary on
+    the way to the warp."""
+    masks = jax.vmap(
+        lambda a: mota_mask(a, out_hw, enhance_coe=enhance_coe,
+                            kernel_size=kernel_size,
+                            quantize_like_reference=quantize)
+    )(maps)
+    warped = warp_batch_by_attention(
+        imgs255, masks.astype(jnp.float32), S, S, params
+    )
+    return masks, warped
 
 
 def _to_float255(im) -> np.ndarray:
@@ -74,6 +99,12 @@ class AttWarpPipeline:
     # compiled shapes. 0 = warp at exact native sizes.
     size_bucket: int = 64
     max_side: int = 1024
+    # Keep pixels ON DEVICE between phases (preprocess, mask+warp fused in
+    # one program per shape group, warped fed straight into pass 2) when the
+    # backend supports device pixels. Through a remote-device link each
+    # avoided host round trip is worth hundreds of ms; the math is identical
+    # to the host path (same resize kernel, same mask/warp programs).
+    device_resident: bool = True
     params: WarpParams = field(init=False)
 
     def __post_init__(self):
@@ -93,6 +124,10 @@ class AttWarpPipeline:
             raise ValueError(
                 f"{len(images)} images but {len(questions)} questions"
             )
+        if self.device_resident and getattr(
+            self.backend, "supports_device_pixels", False
+        ):
+            return self._run_device(images, questions)
         batch_in = np.stack(
             [_resize_for_backend(im, self.backend.image_size) for im in images]
         )
@@ -156,6 +191,96 @@ class AttWarpPipeline:
             first_answers=list(first_answers),
             second_answers=second_answers,
         )
+
+    def _run_device(
+        self, images: Sequence[np.ndarray], questions: Sequence[str]
+    ) -> AttWarpResult:
+        """Device-resident two-pass flow: three downloads total (maps,
+        masks, warped) regardless of batch size — every resize, the MOTA
+        mask, the warp, and the pass-2 CLIP input stay on device, and the
+        mask+warp pair runs as ONE program per image-shape group."""
+        from attwarp_tpu.extract.extraction import (
+            _to01_scale,
+            resize_images_batch,
+            resize_scale_device,
+        )
+
+        B = len(images)
+        arrs = [np.asarray(im) for im in images]
+
+        # pass 1: extraction on device-preprocessed pixels
+        pix1 = resize_images_batch(arrs, self.backend.image_size)
+        maps, first_answers = self.backend.extract(
+            pix1, list(questions), max_new_tokens=self.max_new_tokens
+        )
+        maps = np.asarray(maps)
+        if maps.ndim == 4:  # multi-layer backend: first listed layer is primary
+            maps = maps[0]
+
+        # fused mask+warp per (raw shape, scale, bucketed shape) group:
+        # upload the raw batch once, resize to the bucketed [0,255] size,
+        # build every MOTA mask and warp every image in one dispatch
+        S = self.warp_size
+        groups: dict = {}
+        for b, a in enumerate(arrs):
+            tgt = self._bucket_target(a.shape[:2])
+            groups.setdefault((a.shape, _to01_scale(a), tgt), []).append(b)
+        masks: List[Optional[np.ndarray]] = [None] * B
+        order: List[int] = []
+        pieces = []
+        for (shape, scale01, tgt), idxs in groups.items():
+            batch = jax.device_put(np.stack([arrs[b] for b in idxs]))
+            img255 = resize_scale_device(batch, jnp.float32(255.0 * scale01), tgt)
+            g_masks, g_warped = _mask_warp_fused(
+                jnp.asarray(maps[np.asarray(idxs)], jnp.float32), img255, tgt,
+                S, self.enhance_coe, self.kernel_size,
+                self.quantize_like_reference, self.params,
+            )
+            g_masks_np = np.asarray(g_masks)  # ONE download per shape group
+            for j, b in enumerate(idxs):
+                masks[b] = g_masks_np[j]
+            pieces.append(g_warped)
+            order.extend(idxs)
+        warped_all = (
+            jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
+        )
+        if order != list(range(B)):
+            warped_all = warped_all[jnp.asarray(np.argsort(order))]
+
+        second_answers = None
+        if self.second_pass:
+            # pass 2 consumes the device-resident warped batch directly
+            pix2 = resize_scale_device(
+                warped_all, jnp.float32(1.0 / 255.0),
+                (self.backend.image_size, self.backend.image_size),
+            )
+            if hasattr(self.backend, "answer_batch"):
+                second_answers = self.backend.answer_batch(
+                    pix2, list(questions), max_new_tokens=self.max_new_tokens
+                )
+            else:
+                _m2, second_answers = self.backend.extract(
+                    pix2, list(questions), max_new_tokens=self.max_new_tokens
+                )
+
+        return AttWarpResult(
+            warped=np.asarray(warped_all),
+            attention_maps=maps,
+            mota_masks=masks,
+            first_answers=list(first_answers),
+            second_answers=second_answers,
+        )
+
+    def _bucket_target(self, hw) -> tuple:
+        """Bucketed (H, W) for a raw image size (host-side shape math)."""
+        if self.size_bucket <= 0:
+            return (int(hw[0]), int(hw[1]))
+        b = self.size_bucket
+
+        def snap(n):
+            return min(((n + b - 1) // b) * b, self.max_side)
+
+        return (snap(int(hw[0])), snap(int(hw[1])))
 
     def _bucket_size(self, im: np.ndarray) -> np.ndarray:
         """Round (H, W) up to the size bucket (and down to max_side) so the

@@ -1,6 +1,7 @@
 """The two-pass AttWarp pipeline end to end with the mini backend."""
 
 import numpy as np
+import pytest
 
 from attwarp_tpu.pipeline import AttWarpPipeline
 from attwarp_tpu.warp.transforms import Transform
@@ -33,6 +34,92 @@ def test_two_pass_pipeline(rng):
     assert len(res.first_answers) == 2
     assert res.second_answers is not None and len(res.second_answers) == 2
     assert np.isfinite(res.warped).all()
+
+
+def test_resize_images_batch_matches_host(rng):
+    """Device-batched preprocessing is the same math as the per-image host
+    resize, for every dtype convention and across shape groups."""
+    from attwarp_tpu.extract.extraction import (
+        _resize_for_backend,
+        resize_images_batch,
+    )
+
+    imgs = [
+        (rng.random((40, 50, 3)) * 255).astype(np.uint8),      # uint8
+        rng.random((40, 50, 3)).astype(np.float32),            # float [0,1]
+        (rng.random((24, 24, 3)) * 255).astype(np.float32),    # float 0-255
+        (rng.random((40, 50, 3)) * 255).astype(np.uint8),      # group reuse
+    ]
+    got = np.asarray(resize_images_batch(imgs, 32))
+    want = np.stack([_resize_for_backend(im, 32) for im in imgs])
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_pipeline_device_resident_matches_host(rng):
+    """The device-resident flow (batched resizes, fused mask+warp, device
+    pixels into pass 2) is answer- and pixel-identical to the host flow on
+    a real LlavaBackend."""
+    pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    from tools.make_random_7b_ckpt import build_dry_run_tokenizer
+    import torch
+    from transformers import (
+        CLIPVisionConfig,
+        LlamaConfig as HFLlamaConfig,
+        LlavaConfig as HFLlavaConfig,
+        LlavaForConditionalGeneration,
+    )
+
+    from attwarp_tpu.extract.llava_backend import LlavaBackend
+    from attwarp_tpu.models import LlavaModel, port_hf_llava_weights
+
+    torch.manual_seed(0)
+    hf = LlavaForConditionalGeneration(
+        HFLlavaConfig(
+            vision_config=CLIPVisionConfig(
+                hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                num_attention_heads=2, image_size=28, patch_size=14,
+            ),
+            text_config=HFLlamaConfig(
+                vocab_size=128, hidden_size=48, intermediate_size=96,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2,
+            ),
+            image_token_index=99,
+            vision_feature_layer=-2,
+        )
+    ).eval()
+    cfg = LlavaBackend.config_from_hf(hf.config)
+    params = port_hf_llava_weights(hf.state_dict(), cfg)
+    be = LlavaBackend(LlavaModel(cfg, params), extract_layer=1,
+                      tokenizer=build_dry_run_tokenizer())
+    assert be.supports_device_pixels
+
+    imgs = [
+        (rng.random((40, 50, 3)) * 255).astype(np.uint8),
+        rng.random((30, 30, 3)).astype(np.float32),
+        (rng.random((40, 50, 3)) * 255).astype(np.uint8),
+    ]
+    qs = ["what is the text?", "read the label", "what is shown here?"]
+
+    def mk(dev):
+        return AttWarpPipeline(be, warp_size=32, max_new_tokens=3,
+                               size_bucket=16, max_side=48,
+                               device_resident=dev)
+
+    host = mk(False).run(imgs, qs)
+    dev = mk(True).run(imgs, qs)
+
+    assert dev.first_answers == host.first_answers
+    assert dev.second_answers == host.second_answers
+    np.testing.assert_allclose(dev.attention_maps, host.attention_maps,
+                               atol=1e-6)
+    for m_dev, m_host in zip(dev.mota_masks, host.mota_masks):
+        assert m_dev.shape == m_host.shape
+        np.testing.assert_allclose(
+            m_dev.astype(np.float32), m_host.astype(np.float32), atol=1.0
+        )
+    np.testing.assert_allclose(dev.warped, host.warped, atol=2e-3)
 
 
 class _StubMultiLayerBackend:

@@ -4,9 +4,22 @@ Random weights at the exact LLaVA-1.5-7B geometry (CLIP-L/14 336px tower +
 32-layer 4096-wide decoder): throughput is shape-dependent only, so these
 benches measure the real production programs without downloadable weights.
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compilation cache: verified to work through the axon relay
+# (second process re-loads a cached executable in ~40 ms). De-risks the
+# >10 min 7B flash-prefill compiles (CLAUDE.md) across bench processes.
+_CACHE_DIR = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+)
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from attwarp_tpu.models.clip_vit import ClipVisionConfig
 from attwarp_tpu.models.llama import LlamaConfig
