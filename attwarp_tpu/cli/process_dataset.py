@@ -427,9 +427,20 @@ def process_dataset(
                 items.append((i, entry["loaded_image"], entry["question"], meta))
             if not items:
                 continue
-            batch = np.stack(
-                [_resize_for_backend(im, backend.image_size) for _, im, _, _ in items]
-            )
+            if getattr(backend, "supports_device_pixels", False):
+                # one upload + one fused resize dispatch per shape group —
+                # per-image host resizes cost seconds per batch through a
+                # remote-device link (see attwarp_tpu/pipeline.py)
+                from attwarp_tpu.extract.extraction import resize_images_batch
+
+                batch = resize_images_batch(
+                    [im for _, im, _, _ in items], backend.image_size
+                )
+            else:
+                batch = np.stack(
+                    [_resize_for_backend(im, backend.image_size)
+                     for _, im, _, _ in items]
+                )
             qs = [q for _, _, q, _ in items]
             maps, _texts = _extract_with_fallback(backend, batch, qs, max_new_tokens)
             work_q.put((items, np.asarray(maps)))

@@ -35,6 +35,10 @@ from attwarp_tpu.extract.prompts import build_prompt, stop_str_for
 class MiniLLaVABackend:
     """Self-contained test MLLM (no external weights)."""
 
+    # extract() takes any (B, H, W, 3) array, device-resident included —
+    # lets tests exercise the pipeline/driver device-pixels path on CPU
+    supports_device_pixels = True
+
     def __init__(self, cfg: Optional[MiniLLaVAConfig] = None, seed: int = 0):
         self.cfg = cfg or MiniLLaVAConfig()
         self.params = init_params(self.cfg, jax.random.PRNGKey(seed))

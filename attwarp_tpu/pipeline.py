@@ -213,6 +213,7 @@ class AttWarpPipeline:
         maps, first_answers = self.backend.extract(
             pix1, list(questions), max_new_tokens=self.max_new_tokens
         )
+        del pix1  # free HBM before the mask+warp and answer programs
         maps = np.asarray(maps)
         if maps.ndim == 4:  # multi-layer backend: first listed layer is primary
             maps = maps[0]
@@ -241,19 +242,25 @@ class AttWarpPipeline:
                 masks[b] = g_masks_np[j]
             pieces.append(g_warped)
             order.extend(idxs)
+            del batch, img255, g_masks, g_warped
         warped_all = (
             jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
         )
+        del pieces
         if order != list(range(B)):
             warped_all = warped_all[jnp.asarray(np.argsort(order))]
 
         second_answers = None
         if self.second_pass:
-            # pass 2 consumes the device-resident warped batch directly
+            # pass 2 consumes the device-resident warped batch directly.
+            # Compute its (small) input, then download the warped result and
+            # DROP every other device buffer before the answer program runs —
+            # a 7B B=16 answer pass needs most of HBM beside the weights.
             pix2 = resize_scale_device(
                 warped_all, jnp.float32(1.0 / 255.0),
                 (self.backend.image_size, self.backend.image_size),
             )
+            warped_all = np.asarray(warped_all)
             if hasattr(self.backend, "answer_batch"):
                 second_answers = self.backend.answer_batch(
                     pix2, list(questions), max_new_tokens=self.max_new_tokens

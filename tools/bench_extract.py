@@ -10,10 +10,10 @@ one chip.
 Run:  PYTHONPATH=.:$PYTHONPATH python tools/bench_extract.py bf16|int8[+kv8] [batch]
 
 Random weights at the exact 7B geometry (CLIP-L/14 336px tower + 32-layer
-4096-wide decoder): throughput is shape-dependent only. The host preprocess
-(resize + CLIP-normalize, attwarp_tpu/extract) is included in the timing —
-it overlaps poorly at B=1 and that's part of the honest number. Each timed
-iteration feeds fresh host images so nothing is cached across samples.
+4096-wide decoder): throughput is shape-dependent only. Preprocessing
+(upload + fused resize/CLIP-normalize on device, the driver's path) is
+included in the timing. Each timed iteration feeds fresh host images so
+nothing is cached across samples.
 """
 import sys
 import time
@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import tools.bench_utils  # noqa: F401  (persistent compile cache config)
 from attwarp_tpu.extract.llava_backend import LlavaBackend
 from attwarp_tpu.models.clip_vit import ClipVisionConfig
 from attwarp_tpu.models.llama import LlamaConfig
@@ -129,10 +130,17 @@ mask = np.ones((B, T), np.int64)
 raw_images = (rng.random((B, 480, 640, 3)) * 255).astype(np.uint8)
 
 
+from attwarp_tpu.extract.extraction import resize_images_batch  # noqa: E402
+from attwarp_tpu.extract.llava_backend import _clip_normalize_device  # noqa: E402
+
+
 def one_round(images):
-    """Host preprocess + full extraction generate (the driver's per-batch
-    work in cli/process_dataset.py)."""
-    pixels = np.stack([backend._preprocess(im) for im in images])
+    """Device-batched preprocess + full extraction generate (the driver's
+    per-batch work in cli/process_dataset.py: one upload + one fused
+    resize+normalize dispatch, pixels stay on device)."""
+    pixels = _clip_normalize_device(
+        resize_images_batch(list(images), backend.image_size)
+    )
     gen, maps = backend.extract_from_ids(ids, mask, pixels, max_new_tokens=NEW)
     return gen, maps
 
