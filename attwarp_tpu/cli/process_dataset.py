@@ -456,6 +456,9 @@ def process_dataset(
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from attwarp_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     backend = make_backend(args.backend, args.layer_index)
     stats = process_dataset(
         args.textvqa_json,

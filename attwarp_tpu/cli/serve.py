@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    from attwarp_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from attwarp_tpu.cli.process_dataset import make_backend
     from attwarp_tpu.serving import ServeEngine

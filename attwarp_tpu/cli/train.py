@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    from attwarp_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     cfg = TrainConfig(
         gqa_root_dir=args.gqa_root_dir,
         textvqa_root_dir=args.textvqa_root_dir,

@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from attwarp_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     run_dir = next_run_dir(args.output_dir)
     print(f"Saving outputs to: {run_dir}")
 

@@ -13,13 +13,15 @@ import numpy as np
 # Persistent compilation cache: verified to work through the axon relay
 # (second process re-loads a cached executable in ~40 ms). De-risks the
 # >10 min 7B flash-prefill compiles (CLAUDE.md) across bench processes.
-_CACHE_DIR = os.environ.get(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+# Benches default to the repo-local .jax_cache so bench/CLI runs in this
+# checkout share executables; the CLIs default to ~/.cache/attwarp_tpu.
+from attwarp_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache(
+    os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    or os.environ.get("ATTWARP_COMPILE_CACHE_DIR")
+    or os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
 )
-os.makedirs(_CACHE_DIR, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from attwarp_tpu.models.clip_vit import ClipVisionConfig
 from attwarp_tpu.models.llama import LlamaConfig
