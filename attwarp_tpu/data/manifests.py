@@ -301,8 +301,12 @@ class MetadataDirDataset:
                 arr = np.squeeze(np.asarray(np.load(p), np.float32))
                 if arr.ndim == 3:
                     arr = arr.mean(axis=2)
+                # same value rule as MixedMetadataDataset._load_attention
+                # (reference dataloader.py:275-402): 0-255-scaled artifacts
+                # divide by 255 — NOT by per-sample max, which would
+                # contrast-stretch targets differently per sample
                 if arr.max() > 1.0:
-                    arr = arr / max(float(arr.max()), 1e-9)
+                    arr = arr / 255.0
                 attn = np.clip(arr, 0.0, 1.0)
                 break
         if attn is None:

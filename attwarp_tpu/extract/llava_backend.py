@@ -270,9 +270,16 @@ class LlavaBackend:
             and images.ndim == 4
             and images.shape[1] == images.shape[2] == self.image_size
         ):
-            # device-resident pre-resized [0,1] batch: normalize on device,
-            # skip the per-image host preprocess entirely
-            pixels = _clip_normalize_device(images)
+            # Device-resident pre-resized batch: normalize on device, skip
+            # the per-image host preprocess entirely. Integer batches are
+            # scaled by the dtype rule; FLOAT device batches must already be
+            # [0,1] (the resize_images_batch / resize_scale_device contract)
+            # — a float 0-255 device array can't be detected without a host
+            # sync, so that case is the caller's bug, not silently guessed.
+            x = images
+            if jnp.issubdtype(x.dtype, jnp.integer):
+                x = x.astype(jnp.float32) / 255.0
+            pixels = _clip_normalize_device(x)
         else:
             pixels = np.stack([self._preprocess(im) for im in images])
         return np.asarray(padded), np.asarray(mask), pixels

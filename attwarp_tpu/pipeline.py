@@ -168,8 +168,15 @@ class AttWarpPipeline:
 
         second_answers = None
         if self.second_pass:
+            # `warped` is float [0,255] BY CONSTRUCTION (_to_float255), so
+            # scale explicitly instead of letting _resize_for_backend's
+            # max() heuristic guess (a near-black warped image would be
+            # misread as already [0,1] — the device path divides by 255
+            # unconditionally and the two flows must agree)
             warped_in = np.stack(
-                [_resize_for_backend(w, self.backend.image_size) for w in warped]
+                [_resize_for_backend(w / np.float32(255.0),
+                                     self.backend.image_size)
+                 for w in warped]
             )
             # the second pass only needs TEXT — backends with the answer-only
             # fast path (extract_layer=None: no attention materialized, no

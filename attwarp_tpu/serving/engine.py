@@ -84,17 +84,6 @@ def _prefill(params, cfg, tcfg: LlamaConfig, ids, mask, pixels, max_seq: int,
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def _insert_dense(cache: LlamaKVCache, block: LlamaKVCache, slot, cfg):
-    """Write a single-request prefill cache block (L, 1, Tb, H, D) into
-    ``slot`` at positions [0, Tb)."""
-    k = jax.lax.dynamic_update_slice(cache.k, block.k.astype(cache.k.dtype),
-                                     (0, slot, 0, 0, 0))
-    v = jax.lax.dynamic_update_slice(cache.v, block.v.astype(cache.v.dtype),
-                                     (0, slot, 0, 0, 0))
-    return LlamaKVCache(k, v)
-
-
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def _insert_dense_group(cache: LlamaKVCache, block: LlamaKVCache, slots, cfg):
     """Write a BATCHED prefill block (L, n, Tb, H, D) into ``n`` slots in
     one dispatch (``slots``: (n,) traced slot indices; n is static via the
@@ -560,25 +549,44 @@ class ServeEngine:
             self._slots[b].pending = True
             self._slots[b].rid = req.rid
             pairs.append((b, req))
-        if self.family == "qwen2vl":
+        # On any prefill failure, un-admitted slots are restored and their
+        # requests pushed back (in order) before the error propagates, so a
+        # crashed admission can't wedge the engine with orphaned pending
+        # slots (run() would otherwise spin on them forever).
+        admitted = set()
+        try:
+            if self.family == "qwen2vl":
+                for b, req in pairs:
+                    first = self._prefill_into(b, req)
+                    self._pending.append((b, req, first))
+                    admitted.add(b)
+                return
+            # Group by (length bucket, pixel shape): mixed image shapes in
+            # one bucket must not share an np.stack / jitted program.
+            groups: Dict[Tuple[int, Optional[Tuple[int, ...]]], List] = {}
             for b, req in pairs:
-                first = self._prefill_into(b, req)
-                self._pending.append((b, req, first))
-            return
-        groups: Dict[Tuple[int, bool], List] = {}
-        for b, req in pairs:
-            T = len(req.input_ids)
-            assert T <= self.max_seq - 1, (T, self.max_seq)
-            Tb = min(-(-T // self.bucket) * self.bucket, self.max_seq)
-            groups.setdefault((Tb, req.pixel_values is not None),
-                              []).append((b, req))
-        for (Tb, with_image), members in groups.items():
-            i = 0
-            while i < len(members):
-                size = 1 << ((len(members) - i).bit_length() - 1)
-                size = min(size, self.admit_batch)
-                self._prefill_group(Tb, with_image, members[i:i + size])
-                i += size
+                T = len(req.input_ids)
+                assert T <= self.max_seq - 1, (T, self.max_seq)
+                Tb = min(-(-T // self.bucket) * self.bucket, self.max_seq)
+                pix = (None if req.pixel_values is None
+                       else tuple(np.shape(req.pixel_values)))
+                groups.setdefault((Tb, pix), []).append((b, req))
+            for (Tb, pix), members in groups.items():
+                i = 0
+                while i < len(members):
+                    size = 1 << ((len(members) - i).bit_length() - 1)
+                    size = min(size, self.admit_batch)
+                    chunk = members[i:i + size]
+                    self._prefill_group(Tb, pix is not None, chunk)
+                    admitted.update(b for b, _ in chunk)
+                    i += size
+        except Exception:
+            rollback = [(b, req) for b, req in pairs if b not in admitted]
+            for b, req in reversed(rollback):
+                self._slots[b].pending = False
+                self._slots[b].rid = -1
+                self.queue.appendleft(req)
+            raise
 
     def _prefill_group(self, Tb: int, with_image: bool, chunk) -> None:
         """One batched prefill + one grouped insert for ``chunk`` =
@@ -632,8 +640,12 @@ class ServeEngine:
         self._pending.clear()
 
     def _prefill_into(self, b: int, req: Request) -> int:
-        """Left-pad the prompt inside its 64-token bucket (ONE compilation
-        per bucket), prefill, insert the block at [0, Tb) of the slot."""
+        """Per-request Qwen2-VL admission: left-pad the prompt inside its
+        64-token bucket (ONE compilation per bucket), prefill, insert the
+        block at [0, Tb) of the slot. (The LLaVA family admits exclusively
+        through the batched ``_prefill_group``; per-request vision grids and
+        M-RoPE deltas keep Qwen2-VL on this path.)"""
+        assert self.family == "qwen2vl", self.family
         T = len(req.input_ids)
         Tb = min(-(-T // self.bucket) * self.bucket, self.max_seq)
         pad = Tb - T
@@ -643,46 +655,34 @@ class ServeEngine:
         mask = np.zeros((1, Tb), bool)
         mask[0, pad:] = True
         with_image = req.pixel_values is not None
-        if self.family == "qwen2vl":
-            from attwarp_tpu.models.qwen2vl import (
-                get_mrope_positions,
-                patchify_image,
-            )
+        from attwarp_tpu.models.qwen2vl import (
+            get_mrope_positions,
+            patchify_image,
+        )
 
-            if with_image:
-                patches, grid = patchify_image(req.pixel_values,
-                                               self.cfg.vision)
-                patches = jnp.asarray(patches)
-            else:
-                patches, grid = jnp.zeros((4, 8), jnp.float32), None
-            pos, deltas = get_mrope_positions(
-                ids, mask.astype(np.int64), grid or (1, 2, 2),
-                self.cfg.image_token_id, self.cfg.vision.spatial_merge_size,
-            )
-            first, block = _qwen_prefill(
-                self.model.params, self.cfg, self.tcfg, jnp.asarray(ids),
-                jnp.asarray(mask), patches, jnp.asarray(pos), grid, Tb,
-                self.kv_quant, self.use_flash,
-            )
-            # decode positions are (valid_len + generated) + delta_eng with
-            # delta_eng re-based to VALID length (get_mrope_positions returns
-            # it relative to the padded length)
-            self.deltas[b] = int(deltas[0]) + pad
+        if with_image:
+            patches, grid = patchify_image(req.pixel_values,
+                                           self.cfg.vision)
+            patches = jnp.asarray(patches)
         else:
-            pixels = (jnp.asarray(req.pixel_values[None], jnp.float32)
-                      if with_image else
-                      jnp.zeros((1, 1, 1, 3), jnp.float32))
-            first, block = _prefill(
-                self.model.params, self.cfg, self.tcfg, jnp.asarray(ids),
-                jnp.asarray(mask), pixels, Tb, self.kv_quant, with_image,
-                self.use_flash,
-            )
+            patches, grid = jnp.zeros((4, 8), jnp.float32), None
+        pos, deltas = get_mrope_positions(
+            ids, mask.astype(np.int64), grid or (1, 2, 2),
+            self.cfg.image_token_id, self.cfg.vision.spatial_merge_size,
+        )
+        first, block = _qwen_prefill(
+            self.model.params, self.cfg, self.tcfg, jnp.asarray(ids),
+            jnp.asarray(mask), patches, jnp.asarray(pos), grid, Tb,
+            self.kv_quant, self.use_flash,
+        )
+        # decode positions are (valid_len + generated) + delta_eng with
+        # delta_eng re-based to VALID length (get_mrope_positions returns
+        # it relative to the padded length)
+        self.deltas[b] = int(deltas[0]) + pad
         if self.kv_quant:
             self.kv = _insert_quant(self.kv, block, jnp.int32(b), self.tcfg)
-        elif self.family == "qwen2vl":
-            self.kv = _insert_tuple(self.kv, block, jnp.int32(b))
         else:
-            self.kv = _insert_dense(self.kv, block, jnp.int32(b), self.tcfg)
+            self.kv = _insert_tuple(self.kv, block, jnp.int32(b))
         self.cur_lens[b] = Tb       # next write position (after the bucket)
         self.starts[b] = pad        # pad region permanently masked
         return first                # UNSYNCED (B=1,) jax array — _admit

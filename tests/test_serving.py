@@ -398,3 +398,53 @@ def test_batched_admission_grouping(model, rng, monkeypatch):
     assert tid in out
     for rid, ids, px in reqs:
         assert out[rid] == _reference_tokens(model, ids, px, 4)
+
+
+def test_admission_groups_split_by_pixel_shape(model, rng, monkeypatch):
+    """Same-bucket requests with DIFFERENT image shapes must not share a
+    grouped prefill (np.stack over heterogeneous shapes would crash); the
+    group key includes the pixel shape."""
+    eng = ServeEngine(model, slots=4, max_seq=64, bucket=16, admit_batch=4)
+    chunks = []
+
+    def fake(self, Tb, with_image, chunk):
+        chunks.append([np.shape(r.pixel_values) if r.pixel_values is not None
+                       else None for _, r in chunk])
+
+    monkeypatch.setattr(ServeEngine, "_prefill_group", fake)
+    for shape in ((28, 28, 3), (14, 14, 3), (28, 28, 3), None):
+        ids = rng.integers(3, 90, size=(10,)).astype(np.int64)
+        ids[2] = IMG_TOKEN
+        px = (rng.standard_normal(shape).astype(np.float32)
+              if shape else None)
+        eng.submit(ids, px, max_new_tokens=2)
+    eng._admit()
+    assert sorted(map(tuple, chunks), key=repr) == [
+        ((14, 14, 3),), ((28, 28, 3), (28, 28, 3)), (None,)]
+    for c in chunks:                       # every chunk shape-homogeneous
+        assert len(set(c)) == 1
+
+
+def test_admission_failure_rolls_back_and_engine_recovers(model, rng,
+                                                          monkeypatch):
+    """A crashed grouped prefill must not orphan pending slots (run() would
+    spin forever on them): un-admitted requests return to the queue, slots
+    reset, and a retry after the fault clears serves them correctly."""
+    eng = ServeEngine(model, slots=2, max_seq=64, bucket=16)
+    reqs = [_mk_request(rng, T) for T in (9, 12)]
+    rids = [eng.submit(ids, px, max_new_tokens=4) for ids, px in reqs]
+
+    def boom(self, Tb, with_image, chunk):
+        raise RuntimeError("injected prefill failure")
+
+    real = ServeEngine._prefill_group
+    monkeypatch.setattr(ServeEngine, "_prefill_group", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        eng._admit()
+    assert [r.rid for r in eng.queue] == rids      # back, original order
+    assert not any(s.pending or s.active for s in eng._slots)
+    assert not eng._pending
+    monkeypatch.setattr(ServeEngine, "_prefill_group", real)
+    out = eng.run()                                # engine fully recovers
+    for rid, (ids, px) in zip(rids, reqs):
+        assert out[rid] == _reference_tokens(model, ids, px, 4)

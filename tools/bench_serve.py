@@ -86,13 +86,19 @@ print(f"engine: {label}, slots={SLOTS}, requests={N_REQ}, max_new={MAX_NEW}, "
 warm = ServeEngine(model, slots=SLOTS, max_seq=MAX_SEQ, bucket=64, kv_quant=KV8,
                    chunk_impl=CHUNK, steps_per_tick=TICK, use_flash=FLASH,
                   admit_batch=ADMIT)
-# warm every batched-admission group size (8+4+2+1 when admit_batch=8) on
-# top of the chunk step, so no compile lands inside the measured run
-n_warm = min(2 * SLOTS - 1, 15)
-for _ in range(n_warm):
-    ids = rng.integers(3, 31999, size=(600,)).astype(np.int64)
-    warm.submit(ids, None, max_new_tokens=2)
-warm.run()
+# warm EVERY batched-admission group size on top of the chunk step, so no
+# compile lands inside the measured run: one wave per power-of-two size
+# <= min(admit_batch, slots) guarantees the admission decomposes to exactly
+# that size (a single descending-pow2 wave of capped length misses sizes
+# when admit_batch > 8, and mid-run slot-availability patterns can produce
+# any of them)
+size = 1
+while size <= min(ADMIT, SLOTS):
+    for _ in range(size):
+        ids = rng.integers(3, 31999, size=(600,)).astype(np.int64)
+        warm.submit(ids, None, max_new_tokens=2)
+    warm.run()
+    size *= 2
 del warm
 
 eng = ServeEngine(model, slots=SLOTS, max_seq=MAX_SEQ, bucket=64, kv_quant=KV8,

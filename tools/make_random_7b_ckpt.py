@@ -57,6 +57,11 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     import jax
+
+    # Always build on CPU: the f32 RNG tree is ~28 GiB (host RAM territory),
+    # and the session's sitecustomize preloads jax with the TPU platform, so
+    # the env var alone doesn't stick (CLAUDE.md) — pin it via config too.
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import __graft_entry__ as g

@@ -19,13 +19,16 @@
 #
 # Expected timings (one v5e chip through the axon relay; ARCHITECTURE.md):
 #   port (step 1):      ~10-20 min  (7B f32 torch load + transpose + orbax)
-#   extraction (step 3): ~3.9 samples/s at int8+flash batch 16, AFTER a
+#   extraction (step 3): ~9.7 samples/s at int8+flash batch 16, AFTER a
 #                        one-time jit compile that can take 10-25 min for
 #                        the flash B=16 program — do not kill the quiet
-#                        phase; later batches reuse the compile cache
-#   answering (step 4):  ~450 tok/s aggregate at 16 serving slots (int8
-#                        weights + int8 KV cache)
-# TextVQA val (5000 samples) ≈ 21 min extraction + ~2 h scoring both
+#                        phase. The CLIs persist compiled executables
+#                        (utils/compile_cache.py; $ATTWARP_COMPILE_CACHE_DIR
+#                        overrides the ~/.cache/attwarp_tpu default), so
+#                        re-runs and the evaluate step skip the long waits.
+#   answering (step 4):  ~520 tok/s aggregate at 16 serving slots (int8
+#                        weights, batched admission + flash prefill)
+# TextVQA val (5000 samples) ≈ 9 min extraction + ~1.5 h scoring both
 # warped and original images at 64 max-new-tokens.
 set -euo pipefail
 
@@ -92,10 +95,13 @@ python -m attwarp_tpu.cli.process_dataset \
     ${LIMIT:+--limit "$LIMIT"}
 
 # ── 4. second pass: answer on warped AND original, report the gain ──────
+# Dense KV cache on purpose: at 16 slots the int8 cache's decode-attention
+# loads collapse throughput (ARCHITECTURE.md "Why B>=16 collapses"); the
+# measured 522.9 tok/s 16-slot config is int8 weights + flash + dense cache.
 log "evaluating (16-slot serving engine; scores warped vs original) ..."
 python -m attwarp_tpu.cli.evaluate \
     --metadata-dir "$PROC/metadata" --output-dir "$EVAL" \
-    --model "llava-ckpt:$CKPT+int8+kv8+flash" \
+    --model "llava-ckpt:$CKPT+int8+flash" \
     --serve-slots 16 --score-original \
     ${LIMIT:+--limit "$LIMIT"}
 
