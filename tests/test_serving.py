@@ -448,3 +448,28 @@ def test_admission_failure_rolls_back_and_engine_recovers(model, rng,
     out = eng.run()                                # engine fully recovers
     for rid, (ids, px) in zip(rids, reqs):
         assert out[rid] == _reference_tokens(model, ids, px, 4)
+
+
+def test_qwen_admission_failure_rolls_back(qwen_model, rng, monkeypatch):
+    """Same rollback contract on the per-request Qwen2-VL admission path:
+    a crashed _prefill_into restores slots + queue, then a retry serves."""
+    eng = ServeEngine(qwen_model, slots=2, max_seq=64, bucket=16,
+                      steps_per_tick=4)
+    ids = rng.integers(3, 90, size=(12,)).astype(np.int64)
+    ids[1] = 96
+    ids[2:6] = 97
+    img = rng.standard_normal((56, 56, 3)).astype(np.float32)
+    rid = eng.submit(ids, img, max_new_tokens=4)
+
+    def boom(self, b, req):
+        raise RuntimeError("injected qwen prefill failure")
+
+    real = ServeEngine._prefill_into
+    monkeypatch.setattr(ServeEngine, "_prefill_into", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        eng._admit()
+    assert [r.rid for r in eng.queue] == [rid]
+    assert not any(s.pending or s.active for s in eng._slots)
+    monkeypatch.setattr(ServeEngine, "_prefill_into", real)
+    out = eng.run()
+    assert rid in out and 1 <= len(out[rid]) <= 4
