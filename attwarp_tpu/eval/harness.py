@@ -77,26 +77,52 @@ class EngineAnswerBackend:
 
     def __init__(self, backend, slots: int = 8, max_seq: Optional[int] = None,
                  max_new_tokens: int = 64, steps_per_tick: int = 8):
-        from attwarp_tpu.serving import ServeEngine
-
         self.backend = backend
         self.max_new_tokens = max_new_tokens
-        if max_seq is None:
-            # prompt = image tokens + template/question text (generously
-            # bucketed) + the answer + chunk slack; a hard-coded 768 was too
-            # small for real LLaVA prompts in the 704-token length bucket.
-            # num_patches_side exists on BOTH backends (LLaVA 24 -> 576
-            # tokens; Qwen2-VL 448px -> 16 -> 256) — the LLaVA-only
-            # cfg.num_image_tokens read undersized Qwen to 392
+        self.slots = slots
+        self.steps_per_tick = steps_per_tick
+        # The engine is built LAZILY, on the first chunk: at 7B every extra
+        # max_seq token costs ~1 MiB of dense KV cache PER SLOT (16 slots ×
+        # 64 tokens ≈ 1 GiB), and the old generous static cap (image tokens
+        # + 192 text + answer + 64 slack = 904 at LLaVA geometry) pushed the
+        # 16-slot dense cache past HBM beside the int8 weights. Sizing from
+        # the actual tokenized prompts of the first chunk gives the measured
+        # -fitting 640-bucket profile; rarer longer prompts route through
+        # the plain batched decode (the _fits overflow path below).
+        self._max_seq_cfg = max_seq
+        self.engine = None
+        self._engine_dead = False
+
+    def _ensure_engine(self, prompt_lens: List[int], mnt: int) -> None:
+        if self.engine is not None or self._engine_dead or not prompt_lens:
+            return
+        from attwarp_tpu.serving import ServeEngine
+
+        backend = self.backend
+        if self._max_seq_cfg is not None:
+            max_seq = self._max_seq_cfg
+        else:
+            bucket = 64
+            max_bucketed = max(-(-L // bucket) * bucket for L in prompt_lens)
+            # generous upper cap: the old static formula
             n_img = int(backend.num_patches_side) ** 2
-            prompt_cap = -(-(n_img + 192) // 64) * 64
-            max_seq = prompt_cap + max_new_tokens + steps_per_tick + 64
+            cap = (-(-(n_img + 192) // 64) * 64
+                   + self.max_new_tokens + self.steps_per_tick + 64)
+            max_seq = min(max_bucketed + mnt + self.steps_per_tick, cap)
         self.engine = ServeEngine(
-            backend.model, slots=slots, max_seq=max_seq,
+            backend.model, slots=self.slots, max_seq=max_seq,
             kv_quant=bool(getattr(backend, "kv_quant", False)),
-            steps_per_tick=steps_per_tick,
+            steps_per_tick=self.steps_per_tick,
             use_flash=bool(getattr(backend, "use_flash", False)),
         )
+
+    def _retire_engine(self) -> None:
+        """Failure recovery: drop the engine AND its KV cache (at 7B the
+        dense 16-slot cache is ~6 GiB of HBM — keeping it alive is what
+        made every post-failure fallback OOM too), then answer through the
+        backend's plain batched decode from here on."""
+        self._engine_dead = True
+        self.engine = None
 
     def _decode(self, toks) -> str:
         if toks and toks[-1] == self.backend.model.cfg.eos_token_id:
@@ -117,32 +143,44 @@ class EngineAnswerBackend:
         from attwarp_tpu.extract.extraction import _resize_for_backend
 
         mnt = max_new_tokens or self.max_new_tokens
+        ids_all = [
+            np.asarray(self.backend.build_ids(q + ANSWER_SUFFIX), np.int64)
+            for q in questions
+        ]
+        self._ensure_engine([len(x) for x in ids_all], mnt)
         # a prompt longer than the engine's max_seq (an unusually long
         # question) must not fail the chunk — nor silently drop the sample
         # from the eval denominator: route the oversized ones through the
         # backend's plain batched decode, which buckets by actual length
         answers: List[Optional[str]] = [None] * len(images)
         rids, engine_idx, overflow_idx = [], [], []
-        try:
-            for i, (im, q) in enumerate(zip(images, questions)):
-                ids = np.asarray(
-                    self.backend.build_ids(q + ANSWER_SUFFIX), np.int64
-                )
-                if not self._fits(ids, mnt):
-                    overflow_idx.append(i)
-                    continue
-                px = self.backend._preprocess(
-                    _resize_for_backend(im, self.backend.image_size)
-                )
-                rids.append(self.engine.submit(ids, px, max_new_tokens=mnt))
-                engine_idx.append(i)
-            results = self.engine.run()
-        except Exception:
-            # a failed submit/run must not leave this chunk's requests in
-            # the queue: the harness's per-sample fallback would otherwise
-            # drain them under throwaway rids (double decode work)
-            self.engine.queue.clear()
-            raise
+        if self.engine is None:       # engine retired (or nothing to size)
+            overflow_idx = list(range(len(images)))
+        else:
+            try:
+                for i, (im, ids) in enumerate(zip(images, ids_all)):
+                    if not self._fits(ids, mnt):
+                        overflow_idx.append(i)
+                        continue
+                    px = self.backend._preprocess(
+                        _resize_for_backend(im, self.backend.image_size)
+                    )
+                    rids.append(
+                        self.engine.submit(ids, px, max_new_tokens=mnt))
+                    engine_idx.append(i)
+                results = self.engine.run()
+            except Exception as e:
+                # a failed engine (e.g. HBM exhaustion at an unlucky slot
+                # count) must not poison the rest of the eval: retire it —
+                # freeing its multi-GiB KV cache, which would otherwise
+                # OOM every subsequent fallback too — and answer this and
+                # all future chunks through the plain batched decode
+                print(f"ServeEngine failed ({e}); retiring the engine and "
+                      "answering via the batched decode path.")
+                self._retire_engine()
+                rids, engine_idx = [], []
+                overflow_idx = list(range(len(images)))
+                results = {}
         for i, r in zip(engine_idx, rids):
             answers[i] = self._decode(results[r])
         if overflow_idx:

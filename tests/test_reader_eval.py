@@ -165,3 +165,85 @@ def test_engine_answer_backend_matches_extraction(tmp_path, rng):
     assert all(isinstance(x, str) and x for x in got), got
     assert got[0] == a[0] and got[2] == a[2]
     assert got[1] == seq.answer(imgs[1], long_q, 4)
+
+
+def test_engine_answer_backend_lazy_sizing_and_retirement(rng):
+    """The engine is built lazily, sized from the first chunk's ACTUAL
+    tokenized prompts (the generous static cap cost ~1 MiB of dense KV per
+    extra token per slot at 7B and pushed 16 slots past HBM), and a failed
+    engine is retired — KV cache freed — with answering continuing through
+    the plain batched decode instead of skipping samples."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from transformers import (
+        CLIPVisionConfig,
+        LlamaConfig as HFLlamaConfig,
+        LlavaConfig as HFLlavaConfig,
+        LlavaForConditionalGeneration,
+    )
+
+    from attwarp_tpu.extract.llava_backend import LlavaBackend
+    from attwarp_tpu.models import LlavaModel, port_hf_llava_weights
+    from attwarp_tpu.eval.harness import (
+        ANSWER_SUFFIX,
+        EngineAnswerBackend,
+        ExtractionAnswerBackend,
+    )
+    from attwarp_tpu.serving import ServeEngine
+
+    torch.manual_seed(0)
+    hf = LlavaForConditionalGeneration(
+        HFLlavaConfig(
+            vision_config=CLIPVisionConfig(
+                hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                num_attention_heads=2, image_size=28, patch_size=14,
+            ),
+            text_config=HFLlamaConfig(
+                vocab_size=128, hidden_size=48, intermediate_size=96,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2,
+            ),
+            image_token_index=99,
+            vision_feature_layer=-2,
+        )
+    ).eval()
+    cfg = LlavaBackend.config_from_hf(hf.config)
+
+    class _WordTok:
+        def __call__(self, text, add_special_tokens=False):
+            return {"input_ids": [3 + (hash(w) % 90) for w in text.split()]}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(f"t{int(i)}" for i in ids)
+
+    be = LlavaBackend(
+        LlavaModel(cfg, port_hf_llava_weights(hf.state_dict(), cfg)),
+        tokenizer=_WordTok(),
+    )
+    imgs = [rng.random((40, 44, 3)).astype(np.float32) for _ in range(3)]
+    qs = ["what is shown", "read the label", "how many objects"]
+    ref = ExtractionAnswerBackend(be, max_new_tokens=4).answer_many(imgs, qs, 4)
+
+    # lazy sizing: no engine before the first chunk; afterwards max_seq is
+    # the prompt bucket + max_new + tick, NOT the generous static cap
+    eng = EngineAnswerBackend(be, slots=2, max_new_tokens=4, steps_per_tick=2)
+    assert eng.engine is None
+    assert eng.answer_many(imgs, qs, 4) == ref
+    L = max(len(be.build_ids(q + ANSWER_SUFFIX)) for q in qs)
+    assert eng.engine.max_seq == -(-L // 64) * 64 + 4 + 2
+
+    # retirement: a failing engine frees its cache and answering proceeds
+    # through the batched decode — same answers, nothing skipped
+    def boom(self):
+        raise RuntimeError("injected engine failure")
+
+    real = ServeEngine.run
+    ServeEngine.run = boom
+    try:
+        assert eng.answer_many(imgs, qs, 4) == ref
+    finally:
+        ServeEngine.run = real
+    assert eng.engine is None and eng._engine_dead
+    assert eng.answer_many(imgs, qs, 4) == ref     # stays on the batch path
+    assert eng.answer(imgs[0], qs[0], 4) == ref[0]
