@@ -27,6 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from attwarp_tpu.numerics.quant import apply_linear, quantize_kv
+from attwarp_tpu.ops.pallas_decode_attn import (
+    decode_attn_quantcache,
+    decode_attn_supported,
+)
 
 
 @dataclass(frozen=True)
@@ -414,12 +418,27 @@ def llama_decode_step(
                 upd(kv.k_q, k1q, i), upd(kv.k_s, k1s, i),
                 upd(kv.v_q, v1q, i), upd(kv.v_s, v1s, i),
             )
-            # measured batch-size crossover on v5e (tools/bench_decode.py):
-            # the fused-dequant form is faster at small batch (15.7 vs 17.3
-            # ms/step at B=8) but XLA stops fusing it at B>=16 (52.5 vs 47.0
-            # at B=16, where the scale-factored form wins). B is static at
-            # trace time, so pick per compilation.
-            if B >= 16:
+            # measured form ladder on v5e (tools/bench_attn_forms.py, relay
+            # constant amortized over 400 chained iterations, S=672):
+            # Pallas flash-decoding streams the int8 cache from HBM exactly
+            # once and wins its whole supported region — 0.150 ms vs dequant
+            # 0.228 at B=8, 0.215 vs factored 0.310 at B=16 — but collapses
+            # to ~180 GiB/s at B>=24 (decode_attn_supported gates B<=16).
+            # Outside it the round-2 XLA crossover stands: fused-dequant at
+            # small batch, scale-factored at B>=16 (tools/bench_decode.py:
+            # 15.7 vs 17.3 ms/step at B=8; 47.0 vs 52.5 at B=16). B is
+            # static at trace time, so pick per compilation. The kernel has
+            # no probs-row output, so extract layers keep the XLA forms.
+            max_seq = kv.k_q.shape[2]
+            if i not in want and decode_attn_supported(
+                    max_seq, cfg.kv_heads, cfg.head_dim, B):
+                attn = decode_attn_quantcache(
+                    q, kv.k_q[i], kv.k_s[i], kv.v_q[i], kv.v_s[i],
+                    kv_mask, num_heads=cfg.num_attention_heads,
+                    sm_scale=1.0 / float(np.sqrt(cfg.head_dim)),
+                )
+                r = None
+            elif B >= 16:
                 attn, r = _attn_quantcache(
                     q, kv.k_q[i], kv.k_s[i], kv.v_q[i], kv.v_s[i],
                     kv_mask[:, None, :], cfg, want_probs=(i in want),

@@ -47,6 +47,10 @@ from attwarp_tpu.models.llama import (
     rms_norm,
 )
 from attwarp_tpu.numerics.quant import apply_linear, quantize_kv
+from attwarp_tpu.ops.pallas_decode_attn import (
+    decode_attn_quantcache,
+    decode_attn_supported,
+)
 
 
 # ── configs ─────────────────────────────────────────────────────────────
@@ -403,8 +407,22 @@ def qwen2vl_decode_step(
                 upd(kv.k_q, k1q, i), upd(kv.k_s, k1s, i),
                 upd(kv.v_q, v1q, i), upd(kv.v_s, v1s, i),
             )
-            # batch-size crossover mirrors llama_decode_step (B static)
-            if B >= 16:
+            # form ladder mirrors llama_decode_step (B static at trace
+            # time): supported shapes at B<=16 take the Pallas int8
+            # flash-decoding kernel (one HBM pass over the cache bytes;
+            # GQA n_rep=7 at the real 7B geometry runs as the kernel's
+            # static rep loop), B>=16 falls back to the scale-factored XLA
+            # form, smaller batches to fused dequant.
+            max_seq = kv.k_q.shape[2]
+            if i not in want and decode_attn_supported(
+                    max_seq, cfg.kv_heads, cfg.head_dim, B):
+                attn = decode_attn_quantcache(
+                    q, kv.k_q[i], kv.k_s[i], kv.v_q[i], kv.v_s[i],
+                    kv_mask, num_heads=cfg.num_attention_heads,
+                    sm_scale=1.0 / float(np.sqrt(cfg.head_dim)),
+                )
+                r = None
+            elif B >= 16:
                 attn, r = _attn_quantcache(
                     q, kv.k_q[i], kv.k_s[i], kv.v_q[i], kv.v_s[i],
                     kv_mask[:, None, :], cfg, want_probs=(i in want),

@@ -58,6 +58,10 @@ from attwarp_tpu.models.llama import (
     rope_cos_sin,
 )
 from attwarp_tpu.numerics.quant import apply_linear, dequantize_kv, quantize_kv
+from attwarp_tpu.ops.pallas_decode_attn import (
+    decode_attn_quantcache,
+    decode_attn_supported,
+)
 
 
 # ── jitted core ─────────────────────────────────────────────────────────
@@ -241,9 +245,18 @@ def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts):
                 _upd_slot(new.v_q, v1q, i, cur_lens),
                 _upd_slot(new.v_s, v1s, i, cur_lens),
             )
-            if B >= 16:
-                # same measured crossover as llama_decode_step: the fused
-                # dequant stops fusing at B>=16 — use the scale-factored form
+            # same measured form ladder as llama_decode_step: Pallas
+            # flash-decoding in its win region (supported shape, B<=16 —
+            # int8 cache streamed from HBM once, 1.29x/1.45x over the best
+            # XLA form at B=8/16 S=672, tools/bench_attn_forms.py),
+            # scale-factored XLA at B>=16, fused dequant below.
+            if decode_attn_supported(S, cfg.kv_heads, cfg.head_dim, B):
+                attn = decode_attn_quantcache(
+                    q, new.k_q[i], new.k_s[i], new.v_q[i], new.v_s[i],
+                    kv_mask, num_heads=cfg.num_attention_heads,
+                    sm_scale=1.0 / float(np.sqrt(cfg.head_dim)),
+                )
+            elif B >= 16:
                 attn, _ = _attn_quantcache(
                     q, new.k_q[i], new.k_s[i], new.v_q[i], new.v_s[i],
                     kv_mask[:, None, :], cfg, want_probs=False,
@@ -340,16 +353,24 @@ def _qwen_step_chunk(params, cfg, tokens, kv, cur_lens, starts, deltas,
                     _upd_slot(new.v_q, v1q, i, cur_lens),
                     _upd_slot(new.v_s, v1s, i, cur_lens),
                 )
-                k = dequantize_kv(new.k_q[i], new.k_s[i], q.dtype)
-                v = dequantize_kv(new.v_q[i], new.v_s[i], q.dtype)
+                if decode_attn_supported(S, cfg.kv_heads, cfg.head_dim, B):
+                    attn = decode_attn_quantcache(
+                        q, new.k_q[i], new.k_s[i], new.v_q[i], new.v_s[i],
+                        kv_mask, num_heads=cfg.num_attention_heads,
+                        sm_scale=1.0 / float(np.sqrt(cfg.head_dim)),
+                    )
+                else:
+                    k = dequantize_kv(new.k_q[i], new.k_s[i], q.dtype)
+                    v = dequantize_kv(new.v_q[i], new.v_s[i], q.dtype)
+                    attn, _ = _qattn(q, k, v, kv_mask[:, None, :], cfg,
+                                     want_probs=False)
             else:
                 new = (
                     _upd_slot(new[0], k1.astype(new[0].dtype), i, cur_lens),
                     _upd_slot(new[1], v1.astype(new[1].dtype), i, cur_lens),
                 )
-                k = new[0][i]
-                v = new[1][i]
-            attn, _ = _qattn(q, k, v, kv_mask[:, None, :], cfg, want_probs=False)
+                attn, _ = _qattn(q, new[0][i], new[1][i],
+                                 kv_mask[:, None, :], cfg, want_probs=False)
             x = x + apply_linear(attn, lp["o_proj"])
             h2 = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
             x = x + _mlp(lp, h2)

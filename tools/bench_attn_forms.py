@@ -17,6 +17,7 @@ dependency, for each candidate form:
 
 Run:  PYTHONPATH=.:$PYTHONPATH python tools/bench_attn_forms.py [batch] [S]
 """
+import os
 import sys
 import time
 from functools import partial
@@ -28,7 +29,12 @@ import numpy as np
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 S = int(sys.argv[2]) if len(sys.argv) > 2 else 672
 H, HD = 32, 128
-ITERS = 50
+# fetching ANY result through the axon relay costs a fixed ~30 ms round
+# trip (the round-3 calibration probe: a no-op jit fetched with device_get
+# measures 30.4 ms; 50/200/800 chained 88-MiB reduces measure 126/333/535
+# "GiB/s" — the fit gives ~28 ms constant + the true rate). 400 iterations
+# keep that constant under ~10% of the total for every form here.
+ITERS = int(os.environ.get("ATTN_FORMS_ITERS", "400"))
 scale = 1.0 / np.sqrt(HD)
 
 key = jax.random.PRNGKey(0)
@@ -112,11 +118,24 @@ def attn_factored_hmajor(q):
     return out
 
 
+def attn_pallas(q):
+    """ops/pallas_decode_attn.py: stream the int8 cache once, widen/scale/
+    softmax/PV entirely in VMEM."""
+    from attwarp_tpu.ops.pallas_decode_attn import decode_attn_quantcache
+
+    out = decode_attn_quantcache(
+        q, k8, ks, v8, vs, mask[:, 0, :],
+        num_heads=H, sm_scale=scale,
+    )
+    return out.reshape(B, 1, H, HD)
+
+
 FORMS = {
     "dequant": attn_dequant,
     "factored": attn_factored,
     "int8dot": attn_int8dot_fixed,
     "hmajor": attn_factored_hmajor,
+    "pallas": attn_pallas,
 }
 
 which = sys.argv[3] if len(sys.argv) > 3 else None
