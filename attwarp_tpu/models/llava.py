@@ -170,6 +170,12 @@ def _generate_jit(
     tcfg = cfg.text
     B, T = input_ids.shape
     max_seq = T + max_new_tokens
+    if kv_quant:
+        # round the cache to a multiple of 64 so the Pallas flash-decoding
+        # kernel's seq-tile gate holds (ops/pallas_decode_attn.py: any
+        # 64-multiple carries a legal 32-multiple tile; T+max_new rarely
+        # does). The extra slots stay masked off.
+        max_seq = -(-max_seq // 64) * 64
     n_img = cfg.num_image_tokens
     side = int(np.sqrt(n_img))
     answer_only = extract_layer is None
@@ -205,7 +211,7 @@ def _generate_jit(
     tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     finished0 = tok0 == cfg.eos_token_id
     lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)  # (B,)
-    full_mask = jnp.pad(attention_mask, ((0, 0), (0, max_new_tokens)))
+    full_mask = jnp.pad(attention_mask, ((0, 0), (0, max_seq - T)))
 
     def body(state, step):
         tok, kv, finished, carry, full_mask = state

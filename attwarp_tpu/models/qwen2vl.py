@@ -547,6 +547,10 @@ def _qwen_generate_jit(
     tcfg = cfg.text
     B, T = input_ids.shape
     max_seq = T + max_new_tokens
+    if kv_quant:
+        # 64-multiple cache so the Pallas flash-decoding kernel's seq-tile
+        # gate holds (mirrors _llava_generate; extra slots stay masked)
+        max_seq = -(-max_seq // 64) * 64
     n_img = side_h * side_w
     answer_only = extract_layer is None
     multi = not answer_only and not isinstance(extract_layer, int)
@@ -592,7 +596,7 @@ def _qwen_generate_jit(
     carry0 = acc(carry_init(), row0)
     tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     finished0 = tok0 == cfg.eos_token_id
-    full_mask = jnp.pad(attention_mask, ((0, 0), (0, max_new_tokens)))
+    full_mask = jnp.pad(attention_mask, ((0, 0), (0, max_seq - T)))
 
     def body(state, step):
         tok, kv, finished, carry, full_mask = state

@@ -441,6 +441,11 @@ class ServeEngine:
         self.cfg = model.cfg
         self.tcfg = model.cfg.text
         self.slots = slots
+        if kv_quant:
+            # round the slot cache to a multiple of 64 so the Pallas
+            # flash-decoding kernel's seq-tile gate holds for the decode
+            # read (ops/pallas_decode_attn.py; extra slots stay masked)
+            max_seq = -(-max_seq // 64) * 64
         self.max_seq = max_seq
         self.bucket = bucket
         self.kv_quant = kv_quant

@@ -35,6 +35,10 @@ T_CTX = 640
 # (>=250 ms at B>=8) while keeping the unrolled program's compile bounded
 STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 MAX_SEQ = T_CTX + STEPS
+if KV8:
+    # 64-multiple cache: the Pallas flash-decoding kernel's seq-tile gate
+    # (matches what generate/ServeEngine allocate for quant caches)
+    MAX_SEQ = -(-MAX_SEQ // 64) * 64
 key = jax.random.PRNGKey(0)
 
 
