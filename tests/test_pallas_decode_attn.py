@@ -151,3 +151,119 @@ def test_decode_step_routes_through_kernel(monkeypatch):
         jax.jit(lambda *a: llama_decode_step(*a), static_argnums=(1,))(*args))
     np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
                                atol=5e-3, rtol=0)
+
+
+def test_qwen_decode_step_routes_through_kernel(monkeypatch):
+    """qwen2vl_decode_step with a quant cache and a supported shape must
+    route non-extract layers through the kernel (GQA n_rep=2 here) and
+    match the XLA ladder's logits."""
+    from attwarp_tpu.models import qwen2vl as qwen_mod
+    from attwarp_tpu.models.llama import QuantKVCache
+    from attwarp_tpu.models.qwen2vl import (
+        Qwen2VLTextConfig,
+        mrope_cos_sin,
+        qwen2vl_decode_step,
+    )
+
+    monkeypatch.setenv("ATTWARP_PALLAS_DECODE", "1")
+    cfg = Qwen2VLTextConfig(
+        vocab_size=64, hidden_size=256, intermediate_size=128,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+    )
+    assert cfg.head_dim == 128
+    rng = np.random.default_rng(11)
+
+    def r(*s):
+        return jnp.asarray(rng.standard_normal(s) * 0.02, jnp.float32)
+
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    kvd = cfg.kv_heads * cfg.head_dim
+    params = {
+        "embed_tokens": r(cfg.vocab_size, D),
+        "norm": jnp.ones(D),
+        "layers": [{
+            "input_layernorm": jnp.ones(D),
+            "post_attention_layernorm": jnp.ones(D),
+            "q_proj": r(D, D), "k_proj": r(kvd, D), "v_proj": r(kvd, D),
+            "o_proj": r(D, D),
+            "gate_proj": r(I, D), "up_proj": r(I, D), "down_proj": r(D, I),
+        }],
+    }
+    B, S, kvH, hd = 16, 64, cfg.kv_heads, cfg.head_dim
+    kv = QuantKVCache(
+        jnp.asarray(rng.integers(-127, 128, (1, B, S, kvH, hd)), jnp.int8),
+        jnp.asarray(rng.uniform(0.5, 1.5, (1, B, S, kvH)) / 127, jnp.float32),
+        jnp.asarray(rng.integers(-127, 128, (1, B, S, kvH, hd)), jnp.int8),
+        jnp.asarray(rng.uniform(0.5, 1.5, (1, B, S, kvH)) / 127, jnp.float32),
+    )
+    emb = jnp.asarray(rng.standard_normal((B, 1, D)) * 0.1, jnp.float32)
+    pos3 = jnp.broadcast_to(jnp.full((B, 1), 10)[None], (3, B, 1))
+    cos, sin = mrope_cos_sin(pos3, cfg)
+    args = (params, cfg, emb, kv, jnp.asarray(10), cos, sin,
+            jnp.asarray(np.arange(S)[None] <= 10).repeat(B, 0))
+
+    calls = []
+    real = qwen_mod.decode_attn_quantcache
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(qwen_mod, "decode_attn_quantcache", spy)
+    step = jax.jit(lambda *a: qwen2vl_decode_step(*a), static_argnums=(1,))
+    with pltpu.force_tpu_interpret_mode():
+        logits, _, _ = jax.block_until_ready(step(*args))
+    assert calls, "qwen quant decode did not route through the Pallas kernel"
+
+    monkeypatch.setattr(qwen_mod, "decode_attn_supported", lambda *a: False)
+    logits_ref, _, _ = jax.block_until_ready(
+        jax.jit(lambda *a: qwen2vl_decode_step(*a), static_argnums=(1,))(*args))
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
+                               atol=5e-3, rtol=0)
+
+
+def test_engine_step_kernel_parity(monkeypatch):
+    """ServeEngine's per-slot _step (left-padded buckets, per-slot rope
+    positions) routes through the kernel and matches the XLA ladder."""
+    from attwarp_tpu.models.llama import QuantKVCache
+    from attwarp_tpu.serving import engine as eng_mod
+    from tests.test_flash_prefill import _llama_params
+
+    monkeypatch.setenv("ATTWARP_PALLAS_DECODE", "1")
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=256, intermediate_size=128,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+    )
+    params = _llama_params(cfg)
+    rng = np.random.default_rng(13)
+    B, S, kvH, hd = 16, 64, cfg.kv_heads, cfg.head_dim
+    kv = QuantKVCache(
+        jnp.asarray(rng.integers(-127, 128, (1, B, S, kvH, hd)), jnp.int8),
+        jnp.asarray(rng.uniform(0.5, 1.5, (1, B, S, kvH)) / 127, jnp.float32),
+        jnp.asarray(rng.integers(-127, 128, (1, B, S, kvH, hd)), jnp.int8),
+        jnp.asarray(rng.uniform(0.5, 1.5, (1, B, S, kvH)) / 127, jnp.float32),
+    )
+    tokens = jnp.asarray(rng.integers(1, 63, (B,)), jnp.int32)
+    starts = jnp.asarray(rng.integers(0, 8, (B,)), jnp.int32)
+    cur_lens = starts + jnp.asarray(rng.integers(5, 40, (B,)), jnp.int32)
+
+    calls = []
+    real = eng_mod.decode_attn_quantcache
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(eng_mod, "decode_attn_quantcache", spy)
+    step = jax.jit(lambda *a: eng_mod._step(*a), static_argnums=(1,))
+    with pltpu.force_tpu_interpret_mode():
+        logits, _ = jax.block_until_ready(
+            step(params, cfg, tokens, kv, cur_lens, starts))
+    assert calls, "engine _step did not route through the Pallas kernel"
+
+    monkeypatch.setattr(eng_mod, "decode_attn_supported", lambda *a: False)
+    logits_ref, _ = jax.block_until_ready(
+        jax.jit(lambda *a: eng_mod._step(*a), static_argnums=(1,))(
+            params, cfg, tokens, kv, cur_lens, starts))
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
+                               atol=5e-3, rtol=0)
