@@ -30,6 +30,7 @@ from attwarp_tpu.numerics.quant import apply_linear, quantize_kv
 from attwarp_tpu.ops.pallas_decode_attn import (
     decode_attn_quantcache,
     decode_attn_supported,
+    prepare_decode_attn_operands,
 )
 
 
@@ -404,6 +405,29 @@ def llama_decode_step(
             cache, new[None], (layer, 0, cur_len, *zeros)
         )
 
+    # Pallas flash-decoding step (ops/pallas_decode_attn.py): every layer
+    # reads the STEP-ENTRY cache (stale at cur_len; the current token is
+    # merged outside the kernel) so the in-place update chain never races a
+    # custom-call read, and all layers' new K/V append in ONE batched
+    # dynamic_update_slice at the end. Outside the kernel's win region the
+    # round-2 XLA ladder stands: scale-factored at B>=16, fused dequant
+    # below (tools/bench_decode.py). B and shapes are static at trace time.
+    use_kernel = quant and decode_attn_supported(
+        kv.k_q.shape[2], cfg.kv_heads, cfg.head_dim, B)
+    if use_kernel:
+        kv0, S = kv, kv.k_q.shape[2]
+        strict = kv_mask & (jnp.arange(S)[None, :] != cur_len)
+        ksx, vsx, bias = prepare_decode_attn_operands(
+            kv0.k_s, kv0.v_s, strict)
+        appends = []
+
+        def plane(cache, new):
+            # one extract layer's post-update plane (copies that plane —
+            # only paid for layers that need the probs row)
+            zeros = (0,) * (cache.ndim - 2)
+            return jax.lax.dynamic_update_slice(
+                cache, new, (0, cur_len, *zeros))
+
     rows = {}
     for i, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
@@ -414,31 +438,30 @@ def llama_decode_step(
         if quant:
             k1q, k1s = quantize_kv(k1)
             v1q, v1s = quantize_kv(v1)
-            kv = QuantKVCache(
-                upd(kv.k_q, k1q, i), upd(kv.k_s, k1s, i),
-                upd(kv.v_q, v1q, i), upd(kv.v_s, v1s, i),
-            )
-            # measured form ladder on v5e (tools/bench_attn_forms.py, relay
-            # constant amortized over 400 chained iterations, S=672):
-            # Pallas flash-decoding streams the int8 cache from HBM exactly
-            # once and wins its whole supported region — 0.150 ms vs dequant
-            # 0.228 at B=8, 0.215 vs factored 0.310 at B=16 — but collapses
-            # to ~180 GiB/s at B>=24 (decode_attn_supported gates B<=16).
-            # Outside it the round-2 XLA crossover stands: fused-dequant at
-            # small batch, scale-factored at B>=16 (tools/bench_decode.py:
-            # 15.7 vs 17.3 ms/step at B=8; 47.0 vs 52.5 at B=16). B is
-            # static at trace time, so pick per compilation. The kernel has
-            # no probs-row output, so extract layers keep the XLA forms.
-            max_seq = kv.k_q.shape[2]
-            if i not in want and decode_attn_supported(
-                    max_seq, cfg.kv_heads, cfg.head_dim, B):
-                attn = decode_attn_quantcache(
-                    q, kv.k_q[i], kv.k_s[i], kv.v_q[i], kv.v_s[i],
-                    kv_mask, num_heads=cfg.num_attention_heads,
-                    sm_scale=1.0 / float(np.sqrt(cfg.head_dim)),
-                )
-                r = None
+            if use_kernel:
+                appends.append((k1q, k1s, v1q, v1s))
+                if i not in want:
+                    attn = decode_attn_quantcache(
+                        q, kv0.k_q, ksx, kv0.v_q, vsx, bias,
+                        k1q, k1s, v1q, v1s,
+                        num_heads=cfg.num_attention_heads,
+                        sm_scale=1.0 / float(np.sqrt(cfg.head_dim)),
+                        layer=i,
+                    )
+                    r = None
+                else:
+                    # probs row needed: XLA form on this layer's
+                    # post-update plane
+                    attn, r = _attn_quantcache(
+                        q, plane(kv0.k_q[i], k1q), plane(kv0.k_s[i], k1s),
+                        plane(kv0.v_q[i], v1q), plane(kv0.v_s[i], v1s),
+                        kv_mask[:, None, :], cfg, want_probs=True,
+                    )
             elif B >= 16:
+                kv = QuantKVCache(
+                    upd(kv.k_q, k1q, i), upd(kv.k_s, k1s, i),
+                    upd(kv.v_q, v1q, i), upd(kv.v_s, v1s, i),
+                )
                 attn, r = _attn_quantcache(
                     q, kv.k_q[i], kv.k_s[i], kv.v_q[i], kv.v_s[i],
                     kv_mask[:, None, :], cfg, want_probs=(i in want),
@@ -446,6 +469,10 @@ def llama_decode_step(
             else:
                 from attwarp_tpu.numerics.quant import dequantize_kv
 
+                kv = QuantKVCache(
+                    upd(kv.k_q, k1q, i), upd(kv.k_s, k1s, i),
+                    upd(kv.v_q, v1q, i), upd(kv.v_s, v1s, i),
+                )
                 k = dequantize_kv(kv.k_q[i], kv.k_s[i], q.dtype)
                 v = dequantize_kv(kv.v_q[i], kv.v_s[i], q.dtype)
                 attn, r = _attn(q, k, v, kv_mask[:, None, :], cfg,
@@ -463,6 +490,20 @@ def llama_decode_step(
             lp["down_proj"],
         )
         x = x + mlp
+    if quant and use_kernel:
+        # ONE batched append of every layer's new K/V after the last
+        # stale read — keeps the donated cache's update in place
+        def app(cache, xs):
+            zeros = (0,) * (cache.ndim - 3)
+            return jax.lax.dynamic_update_slice(
+                cache, jnp.stack(xs), (0, 0, cur_len, *zeros))
+
+        kv = QuantKVCache(
+            app(kv0.k_q, [a[0] for a in appends]),
+            app(kv0.k_s, [a[1] for a in appends]),
+            app(kv0.v_q, [a[2] for a in appends]),
+            app(kv0.v_s, [a[3] for a in appends]),
+        )
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed_tokens"])
     logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)

@@ -50,6 +50,7 @@ from attwarp_tpu.numerics.quant import apply_linear, quantize_kv
 from attwarp_tpu.ops.pallas_decode_attn import (
     decode_attn_quantcache,
     decode_attn_supported,
+    prepare_decode_attn_operands,
 )
 
 
@@ -395,6 +396,26 @@ def qwen2vl_decode_step(
             cache, new[None], (layer, 0, cur_len, *zeros)
         )
 
+    # form ladder mirrors llama_decode_step (B static at trace time):
+    # supported shapes at B<=16 take the Pallas flash-decoding kernel —
+    # stale step-entry reads, current token merged outside, ONE batched
+    # append at the end (GQA n_rep=7 at the real 7B geometry is just the
+    # kernel's head-group selection mask); B>=16 falls back to the
+    # scale-factored XLA form, smaller batches to fused dequant.
+    use_kernel = quant and decode_attn_supported(
+        kv.k_q.shape[2], cfg.kv_heads, cfg.head_dim, B)
+    if use_kernel:
+        kv0, S = kv, kv.k_q.shape[2]
+        strict = kv_mask & (jnp.arange(S)[None, :] != cur_len)
+        ksx, vsx, bias = prepare_decode_attn_operands(
+            kv0.k_s, kv0.v_s, strict)
+        appends = []
+
+        def plane(cache, new):
+            zeros = (0,) * (cache.ndim - 2)
+            return jax.lax.dynamic_update_slice(
+                cache, new, (0, cur_len, *zeros))
+
     rows = {}
     for i, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
@@ -403,26 +424,28 @@ def qwen2vl_decode_step(
         if quant:
             k1q, k1s = quantize_kv(k1)
             v1q, v1s = quantize_kv(v1)
-            kv = QuantKVCache(
-                upd(kv.k_q, k1q, i), upd(kv.k_s, k1s, i),
-                upd(kv.v_q, v1q, i), upd(kv.v_s, v1s, i),
-            )
-            # form ladder mirrors llama_decode_step (B static at trace
-            # time): supported shapes at B<=16 take the Pallas int8
-            # flash-decoding kernel (one HBM pass over the cache bytes;
-            # GQA n_rep=7 at the real 7B geometry runs as the kernel's
-            # static rep loop), B>=16 falls back to the scale-factored XLA
-            # form, smaller batches to fused dequant.
-            max_seq = kv.k_q.shape[2]
-            if i not in want and decode_attn_supported(
-                    max_seq, cfg.kv_heads, cfg.head_dim, B):
-                attn = decode_attn_quantcache(
-                    q, kv.k_q[i], kv.k_s[i], kv.v_q[i], kv.v_s[i],
-                    kv_mask, num_heads=cfg.num_attention_heads,
-                    sm_scale=1.0 / float(np.sqrt(cfg.head_dim)),
-                )
-                r = None
+            if use_kernel:
+                appends.append((k1q, k1s, v1q, v1s))
+                if i not in want:
+                    attn = decode_attn_quantcache(
+                        q, kv0.k_q, ksx, kv0.v_q, vsx, bias,
+                        k1q, k1s, v1q, v1s,
+                        num_heads=cfg.num_attention_heads,
+                        sm_scale=1.0 / float(np.sqrt(cfg.head_dim)),
+                        layer=i,
+                    )
+                    r = None
+                else:
+                    attn, r = _attn_quantcache(
+                        q, plane(kv0.k_q[i], k1q), plane(kv0.k_s[i], k1s),
+                        plane(kv0.v_q[i], v1q), plane(kv0.v_s[i], v1s),
+                        kv_mask[:, None, :], cfg, want_probs=True,
+                    )
             elif B >= 16:
+                kv = QuantKVCache(
+                    upd(kv.k_q, k1q, i), upd(kv.k_s, k1s, i),
+                    upd(kv.v_q, v1q, i), upd(kv.v_s, v1s, i),
+                )
                 attn, r = _attn_quantcache(
                     q, kv.k_q[i], kv.k_s[i], kv.v_q[i], kv.v_s[i],
                     kv_mask[:, None, :], cfg, want_probs=(i in want),
@@ -430,6 +453,10 @@ def qwen2vl_decode_step(
             else:
                 from attwarp_tpu.numerics.quant import dequantize_kv
 
+                kv = QuantKVCache(
+                    upd(kv.k_q, k1q, i), upd(kv.k_s, k1s, i),
+                    upd(kv.v_q, v1q, i), upd(kv.v_s, v1s, i),
+                )
                 k = dequantize_kv(kv.k_q[i], kv.k_s[i], q.dtype)
                 v = dequantize_kv(kv.v_q[i], kv.v_s[i], q.dtype)
                 attn, r = _attn(q, k, v, kv_mask[:, None, :], cfg,
@@ -444,6 +471,18 @@ def qwen2vl_decode_step(
         x = x + apply_linear(attn, lp["o_proj"])
         h2 = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         x = x + _mlp(lp, h2)
+    if quant and use_kernel:
+        def app(cache, xs):
+            zeros = (0,) * (cache.ndim - 3)
+            return jax.lax.dynamic_update_slice(
+                cache, jnp.stack(xs), (0, 0, cur_len, *zeros))
+
+        kv = QuantKVCache(
+            app(kv0.k_q, [a[0] for a in appends]),
+            app(kv0.k_s, [a[1] for a in appends]),
+            app(kv0.v_q, [a[2] for a in appends]),
+            app(kv0.v_s, [a[3] for a in appends]),
+        )
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed_tokens"])
     logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)

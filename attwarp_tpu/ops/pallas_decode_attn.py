@@ -1,44 +1,60 @@
 """Pallas decode-attention kernel over the int8 KV cache.
 
 WHY. Single-token decode attention against the quantized cache is the term
-that collapses at B>=16 (ARCHITECTURE.md "int8 KV cache"): the XLA forms
-achieve ~66-106 GiB/s on the int8 cache bytes — an order of magnitude under
-the 819 GB/s v5e HBM roofline — because the int8 element loads plus the
-per-(token, head) f32 scale multiply vectorize poorly, and every "fix"
-expressible in XLA (explicit dequant, native s8xs8->s32 dot_general,
-head-major layout) materializes a wider intermediate in HBM and measures
-worse (tools/bench_attn_forms.py). The cache read is the whole cost — at
-7B geometry the arithmetic is ~2 flops/byte — so the winning move is a
-kernel that streams the int8 bytes from HBM exactly once and does ALL
-widening, scaling, softmax, and the PV reduction on-chip.
+that collapses at batch (ARCHITECTURE.md "int8 KV cache"): the XLA forms
+achieve ~180-370 GiB/s on the int8 cache bytes — well under the 819 GB/s
+v5e HBM roofline — because the int8 element loads plus the per-(token,
+head) f32 scale multiply vectorize poorly, and every "fix" expressible in
+XLA (explicit dequant, native s8xs8->s32 dot_general, head-major layout)
+materializes a wider intermediate in HBM and measures worse
+(tools/bench_attn_forms.py). The cache read is the whole cost — at 7B
+geometry the arithmetic is ~2 flops/byte — so the winning move is a kernel
+that streams the int8 bytes from HBM exactly once and does ALL widening,
+scaling, softmax, and the PV reduction on-chip.
+
+THREE LESSONS FROM THE V1 KERNEL (kept here so they are not re-learned):
+1. A custom call cannot fuse its operands. Passing ``k_q[i]`` (a slice)
+   materializes a per-layer copy of the cache plane; passing the whole
+   cache behind a ``(kvH, hd) -> kvH*hd`` reshape is worse — on TPU tiled
+   layouts that reshape is a real relayout, so XLA copied the ENTIRE
+   cache per layer per step (189 ms/step at B=8, 9x over no-kernel). The
+   kernel must take the cache in its NATIVE 5D layout and collapse
+   (Sb, kvH, hd) -> (Sb*kvH, hd) inside (minor dim untouched — free).
+2. Reading the POST-update cache poisons the in-place dynamic-update-slice
+   chain: the custom-call read of the updated buffer forces copy-on-write.
+   So the kernel reads the STEP-ENTRY (stale) cache — every layer reads
+   the same ``kv0`` arrays, all reads precede all writes, and the caller
+   appends every layer's new K/V with ONE batched dynamic_update_slice at
+   the end of the step. The current token's contribution is merged outside
+   the kernel with a standard two-way online-softmax merge (the kernel
+   returns unnormalized acc plus its running max/sum).
+3. Per-(token, head) scales live in the cache as (L, B, S, kvH) — kvH on
+   lanes, padded 32->128. The kernel's score layout is (H, Sb*kvH), so the
+   scales are pre-flattened ONCE per step to (L, B, 1, S*kvH) (a single
+   46 MiB relayout, CSE'd across the 32 per-layer calls because every call
+   passes the same kv0 value) instead of being relayed out in-kernel.
 
 SHAPE OF THE KERNEL. Flash-decoding: grid (B, S/Sb), S sequential, online-
-softmax running stats in VMEM scratch. Per step one (Sb, kvH*hd) int8 K
-tile and V tile stream in (the cache is (B, S, kvH, hd) token-major, so a
-(B, S, kvH*hd) reshape is free and each tile is one linear HBM burst).
+softmax running stats in VMEM scratch. Per step one (Sb, kvH, hd) int8 K
+tile and V tile stream in as native 5D blocks (one linear HBM burst). All
+H query heads run in ONE matmul pair per tile:
 
-The per-head multiply-reduce runs on the MXU, not the VPU (a first, pure-
-VPU version measured 1.18 ms at B=16 S=672 — the elementwise widen +
-multiply + tree-reduce over 88M elements is register-bandwidth-bound):
+  scores (H, Sb*kvH)  = q (H, hd) . K2^T          (K2 = int8->bf16 tile)
+  pv     (H, hd)      = (p * v_scales) . V2
 
-  scores_tile (Sb, kvH)   = (K2 int8->bf16) @ Qbd
-  pv_tile     (kvH, kvH*hd) = (p * v_scale) @ (V2 int8->bf16)
+where row h of ``scores`` only keeps columns r with r % kvH == h // n_rep
+(an iota comparison selects each head's kv group; the off-group entries
+are dense-matmul waste, ~free next to the int8 stream, and buy zero
+in-kernel transposes/relayouts of the big operands). Softmax stats live in
+(H, 1) layout so every reduction is a lane reduction, the only class
+Mosaic lowers. GQA needs no rep loop at all — the group structure is in
+the selection mask.
 
-where Qbd is the query laid out BLOCK-DIAGONALLY ((kvH*hd, kvH); column g
-holds q[g] in rows g*hd..(g+1)*hd) so one matmul computes every head's
-q.k in its own output column, and the PV product accumulates a dense
-(kvH, kvH*hd) block whose diagonal (g, g*hd..) strips are the real
-per-head outputs — 1/kvH of its FLOPs are useful, but MXU FLOPs at this
-arithmetic intensity are ~free next to the int8 stream, and the dense
-form needs no in-kernel transposes or lane<->sublane relayouts of the
-big operands. Softmax stats live in (kvH, Sb) layout (heads on sublanes,
-seq on lanes) so every reduction is a lane reduction, the only class
-Mosaic lowers. GQA runs the rep loop statically (reference semantics:
-q head h = kv_head * n_rep + rep, matching models/llama.py::_repeat_kv).
-
-Numerics match `_attn_quantcache`: q.k products in bf16 (exactly the XLA
-form's einsum dtype) with f32 accumulation, softmax in f32 — inside the
-decode contract (cos > 0.999 vs the dense cache; greedy tokens match).
+Numerics match ``_attn_quantcache``: q.k products in bf16 (exactly the XLA
+form's einsum dtype) with f32 accumulation, softmax in f32, and the
+current token is merged from its quantize->dequantize round trip (the
+same values the XLA ladder reads back from the cache) — inside the decode
+contract (cos > 0.999 vs the dense cache; greedy tokens match).
 
 This replaces the reference's torch.scaled_dot_product_attention decode
 read (vendored modeling_llama.py) — the reference has no quantized cache
@@ -82,134 +98,170 @@ def _seq_tile(S: int) -> int:
 
 def decode_attn_supported(S: int, kv_heads: int, head_dim: int,
                           batch: int) -> bool:
-    """Static gate: S must carry a multiple-of-32 divisor <=256 (cache
-    sizes are 64-multiples everywhere here: extract/offsets.py buckets
-    prompts to 64; serving sizes follow), head_dim one lane register, and
-    batch <=16 — the kernel's measured win region. At B=8/16 S=672 it
-    beats the best XLA form 1.29x/1.45x (0.150/0.215 ms vs dequant 0.228
-    and factored 0.310, tools/bench_attn_forms.py, relay constant
-    amortized over 400 chained iterations), but at B>=24 the grid's
-    effective bandwidth collapses to ~180 GiB/s (0.683 ms at B=24 vs
-    factored's 0.347) — reproduced twice — so larger batches keep the
-    scale-factored XLA form."""
+    """Static gate: S must carry a multiple-of-32 divisor <=256 (any
+    64-multiple qualifies; quantized caches are allocated as 64-multiples
+    everywhere in this repo for exactly this reason), head_dim one lane
+    register, and batch inside the measured win region."""
     return (head_dim == 128 and _seq_tile(S) != 0 and batch <= 16
             and _backend_on())
 
 
-def _kernel(qbd_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, out_ref,
-            m_ref, l_ref, acc_ref, *, n_rep: int, kvH: int, hd: int,
+def _kernel(q_ref, kq_ref, ksx_ref, vq_ref, vsx_ref, bias_ref,
+            acc_out, m_out, l_out, m_s, l_s, acc_s,
+            *, n_rep: int, kvH: int, hd: int, H: int,
             sm_scale: float, n_steps: int):
     step = pl.program_id(1)
 
     @pl.when(step == 0)
     def _init():
-        m_ref[...] = jnp.full_like(m_ref, _NEG)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_s[...] = jnp.full_like(m_s, _NEG)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
 
-    kbf = kq_ref[0].astype(jnp.bfloat16)                 # (Sb, kvH*hd)
-    vbf = vq_ref[0].astype(jnp.bfloat16)
-    ks = ks_ref[0]                                       # (Sb, kvH)
-    vs = vs_ref[0]
-    bias = bias_ref[0]                                   # (Sb, 1)
-    for r in range(n_rep):
-        qbd = qbd_ref[0, r]                              # (kvH*hd, kvH)
-        s0 = jax.lax.dot_general(
-            kbf, qbd, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                # (Sb, kvH)
-        s = ((s0 * ks) * sm_scale + bias).T              # (kvH, Sb)
-        rows = pl.ds(r * kvH, kvH)                       # rep-major rows
-        m_old = m_ref[rows]                              # (kvH, 1)
-        m_new = jnp.maximum(m_old, jnp.max(s, axis=1)[:, None])
-        alpha = jnp.exp(m_old - m_new)                   # (kvH, 1)
-        p = jnp.exp(s - m_new)                           # (kvH, Sb)
-        m_ref[rows] = m_new
-        l_ref[rows] = l_ref[rows] * alpha + jnp.sum(p, axis=1)[:, None]
-        pw = (p * vs.T).astype(jnp.bfloat16)             # (kvH, Sb)
-        pv = jax.lax.dot_general(
-            pw, vbf, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                # (kvH, kvH*hd)
-        acc_ref[rows] = acc_ref[rows] * alpha + pv
+    Sb = kq_ref.shape[2]
+    R = Sb * kvH
+    # native 5D tile; collapsing (Sb, kvH) with hd untouched is layout-free
+    K2 = kq_ref[0, 0].reshape(R, hd).astype(jnp.bfloat16)
+    V2 = vq_ref[0, 0].reshape(R, hd).astype(jnp.bfloat16)
+    qh = q_ref[0]                                        # (H, hd) bf16
+    s0 = jax.lax.dot_general(
+        qh, K2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                    # (H, R)
+    ksx = ksx_ref[0, 0]                                  # (1, R)
+    bias = bias_ref[0]                                   # (1, R)
+    # row h keeps columns r with r % kvH == h // n_rep (its kv group)
+    r_grp = jax.lax.broadcasted_iota(jnp.int32, (H, R), 1) % kvH
+    h_grp = jax.lax.broadcasted_iota(jnp.int32, (H, R), 0) // n_rep
+    s = jnp.where(r_grp == h_grp, s0 * ksx * sm_scale + bias, _NEG)
+    m_old = m_s[...]                                     # (H, 1)
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)
+    p = jnp.exp(s - m_new)                               # (H, R)
+    m_s[...] = m_new
+    l_s[...] = l_s[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    pw = (p * vsx_ref[0, 0]).astype(jnp.bfloat16)        # (H, R)
+    pv = jax.lax.dot_general(
+        pw, V2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                    # (H, hd)
+    acc_s[...] = acc_s[...] * alpha + pv
 
     @pl.when(step == n_steps - 1)
     def _finish():
-        acc = acc_ref[...] / l_ref[...]                  # (n_rep*kvH, kvH*hd)
-        # the useful outputs are the block-diagonal strips; output head
-        # order is h = g*n_rep + r, acc row order is rep-major (r, g)
-        rows = []
-        for g in range(kvH):
-            for r in range(n_rep):
-                rows.append(acc[r * kvH + g:r * kvH + g + 1,
-                                g * hd:(g + 1) * hd])
-        out_ref[0] = rows[0] if len(rows) == 1 else jnp.concatenate(rows, 0)
+        acc_out[0] = acc_s[...]
+        m_out[0] = m_s[...]
+        l_out[0] = l_s[...]
 
 
-@partial(jax.jit, static_argnames=("num_heads", "sm_scale", "interpret"))
+def prepare_decode_attn_operands(k_s, v_s, mask):
+    """Per-STEP operand prep, hoisted out of the per-layer kernel calls so
+    the relayouts happen once: the per-(token, head) scales flattened to
+    the kernel's (1, S*kvH) row layout and the strict-prefix mask expanded
+    to an additive bias in the same layout.
+
+    k_s/v_s: (L, B, S, kvH) f32 — the STEP-ENTRY cache scales.
+    mask: (B, S) bool — valid slots EXCLUDING the current token's."""
+    L, B, S, kvH = k_s.shape
+    ksx = k_s.reshape(L, B, 1, S * kvH)
+    vsx = v_s.reshape(L, B, 1, S * kvH)
+    bias = jnp.where(mask, 0.0, _NEG).astype(jnp.float32)
+    bias = jnp.repeat(bias, kvH, axis=1)[:, None, :]     # (B, 1, S*kvH)
+    return ksx, vsx, bias
+
+
+@partial(jax.jit, static_argnames=("num_heads", "sm_scale", "layer",
+                                   "interpret"))
 def decode_attn_quantcache(
     q: jnp.ndarray,        # (B, 1, H, hd) any float dtype
-    k_q: jnp.ndarray,      # (B, S, kvH, hd) int8
-    k_s: jnp.ndarray,      # (B, S, kvH) f32
+    k_q: jnp.ndarray,      # (L, B, S, kvH, hd) int8 — STEP-ENTRY cache
+    ksx: jnp.ndarray,      # (L, B, 1, S*kvH) f32 — from prepare_...
     v_q: jnp.ndarray,
-    v_s: jnp.ndarray,
-    mask: jnp.ndarray,     # (B, S) bool — valid cache slots
+    vsx: jnp.ndarray,
+    bias: jnp.ndarray,     # (B, 1, S*kvH) f32 — from prepare_...
+    k1_q: jnp.ndarray,     # (B, 1, kvH, hd) int8 — this step's new K
+    k1_s: jnp.ndarray,     # (B, 1, kvH) f32
+    v1_q: jnp.ndarray,
+    v1_s: jnp.ndarray,
     *,
     num_heads: int,
     sm_scale: float,
+    layer: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Single-token attention against the int8 cache; returns (B, 1, H*hd)
-    in q's dtype. HBM traffic: the int8 cache once, nothing widened."""
-    B, S, kvH, hd = k_q.shape
-    n_rep = num_heads // kvH
+    in q's dtype. HBM traffic: the int8 cache once, nothing widened.
+
+    Pass the WHOLE step-entry cache with ``layer=i`` (selected by the
+    BlockSpec index maps) and the current token's quantized K/V separately;
+    append the token to the cache AFTER the last kernel read (one batched
+    dynamic_update_slice per step) — see the module docstring's lessons."""
+    L, B, S, kvH, hd = k_q.shape
+    H = num_heads
+    n_rep = H // kvH
     Sb = _seq_tile(S)
     n_steps = S // Sb
-    # block-diagonal queries: qbd[b, r, g*hd+d, g] = q[b, g*n_rep+r, d]
-    q3 = q[:, 0].reshape(B, kvH, n_rep, hd).astype(jnp.bfloat16)
-    eye = jnp.eye(kvH, dtype=jnp.bfloat16)
-    qbd = jnp.einsum("bgrd,gh->brgdh", q3, eye).reshape(
-        B, n_rep, kvH * hd, kvH
-    )
-    # (B, S, 1): the trailing unit dim keeps the BlockSpec's last-two-dims
-    # tiling legal (Sb % 8 == 0, last dim equals the array's) and broadcasts
-    # over kv heads in the kernel.
-    bias = jnp.where(mask, 0.0, _NEG).astype(jnp.float32)[..., None]
-    out = pl.pallas_call(
-        partial(_kernel, n_rep=n_rep, kvH=kvH, hd=hd, sm_scale=sm_scale,
-                n_steps=n_steps),
+    qh = q[:, 0].astype(jnp.bfloat16)                    # (B, H, hd)
+    li = layer
+    acc, m, l = pl.pallas_call(
+        partial(_kernel, n_rep=n_rep, kvH=kvH, hd=hd, H=H,
+                sm_scale=sm_scale, n_steps=n_steps),
         grid=(B, n_steps),
         in_specs=[
-            pl.BlockSpec((1, n_rep, kvH * hd, kvH), lambda b, s: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, hd), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sb, kvH * hd), lambda b, s: (b, s, 0),
+            pl.BlockSpec((1, 1, Sb, kvH, hd), lambda b, s: (li, b, s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sb, kvH), lambda b, s: (b, s, 0),
+            pl.BlockSpec((1, 1, 1, Sb * kvH), lambda b, s: (li, b, 0, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sb, kvH * hd), lambda b, s: (b, s, 0),
+            pl.BlockSpec((1, 1, Sb, kvH, hd), lambda b, s: (li, b, s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sb, kvH), lambda b, s: (b, s, 0),
+            pl.BlockSpec((1, 1, 1, Sb * kvH), lambda b, s: (li, b, 0, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sb, 1), lambda b, s: (b, s, 0),
+            pl.BlockSpec((1, 1, Sb * kvH), lambda b, s: (b, 0, s),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, num_heads, hd), lambda b, s: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, num_heads, hd), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, H, hd), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, 1), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, 1), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, hd), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 1), jnp.float32),
+        ],
         scratch_shapes=[
-            pltpu.VMEM((n_rep * kvH, 1), jnp.float32),        # running max
-            pltpu.VMEM((n_rep * kvH, 1), jnp.float32),        # running sum
-            pltpu.VMEM((n_rep * kvH, kvH * hd), jnp.float32),  # weighted V
+            pltpu.VMEM((H, 1), jnp.float32),             # running max
+            pltpu.VMEM((H, 1), jnp.float32),             # running sum
+            pltpu.VMEM((H, hd), jnp.float32),            # weighted V
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * S * kvH * hd * kvH * n_rep * 2,
+            flops=2 * B * S * kvH * hd * H * 2,
             bytes_accessed=B * (2 * S * kvH * hd + 2 * S * kvH * 4),
-            transcendentals=B * S * kvH * n_rep,
+            transcendentals=B * S * kvH * H,
         ),
         interpret=interpret,
-    )(qbd, k_q.reshape(B, S, kvH * hd), k_s,
-      v_q.reshape(B, S, kvH * hd), v_s, bias)
-    return out.reshape(B, 1, num_heads * hd).astype(q.dtype)
+    )(qh, k_q, ksx, v_q, vsx, bias)
+    # merge the current token from its quantize->dequantize round trip —
+    # the exact values the XLA ladder reads back from the cache
+    k1 = (k1_q.astype(jnp.float32) * k1_s[..., None])[:, 0]   # (B, kvH, hd)
+    v1 = (v1_q.astype(jnp.float32) * v1_s[..., None])[:, 0]
+    k1r = jnp.repeat(k1.astype(jnp.bfloat16), n_rep, axis=1)  # (B, H, hd)
+    v1r = jnp.repeat(v1, n_rep, axis=1)
+    s_new = jnp.einsum(
+        "bhd,bhd->bh", qh, k1r, preferred_element_type=jnp.float32,
+    ) * sm_scale                                              # (B, H)
+    m0, l0 = m[..., 0], l[..., 0]                             # (B, H)
+    m_tot = jnp.maximum(m0, s_new)
+    a_k = jnp.exp(m0 - m_tot)
+    a_n = jnp.exp(s_new - m_tot)
+    out = (acc * a_k[..., None] + a_n[..., None] * v1r) / (
+        l0 * a_k + a_n)[..., None]
+    return out.reshape(B, 1, H * hd).astype(q.dtype)

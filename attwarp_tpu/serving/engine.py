@@ -61,6 +61,7 @@ from attwarp_tpu.numerics.quant import apply_linear, dequantize_kv, quantize_kv
 from attwarp_tpu.ops.pallas_decode_attn import (
     decode_attn_quantcache,
     decode_attn_supported,
+    prepare_decode_attn_operands,
 )
 
 
@@ -165,6 +166,20 @@ def _upd_slot(cache, new, layer, cur_lens):
     return cache.at[layer, jnp.arange(B), cur_lens].set(new[:, 0])
 
 
+def _upd_slot_all(cache, new_per_layer, cur_lens):
+    """ALL layers' per-slot writes in one scatter: new_per_layer is a list
+    of L (B, 1, ...) arrays; writes land at (l, b, cur_lens[b]). Used by
+    the flash-decoding step, whose layers all read the step-entry cache
+    and defer their appends to one batched update (see
+    ops/pallas_decode_attn.py)."""
+    stacked = jnp.stack([n[:, 0] for n in new_per_layer])    # (L, B, ...)
+    L, B = stacked.shape[0], stacked.shape[1]
+    li = jnp.broadcast_to(jnp.arange(L)[:, None], (L, B))
+    bi = jnp.broadcast_to(jnp.arange(B)[None, :], (L, B))
+    ci = jnp.broadcast_to(cur_lens[None, :], (L, B))
+    return cache.at[li, bi, ci].set(stacked)
+
+
 @partial(jax.jit, static_argnames=("cfg", "k_steps", "top_k", "unroll"),
          donate_argnums=(3,))
 def _step_chunk(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts,
@@ -230,6 +245,16 @@ def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts):
     kv_mask = (ar >= starts[:, None]) & (ar <= cur_lens[:, None])
     x = emb
     new = kv
+    # same measured form ladder as llama_decode_step: Pallas flash-decoding
+    # in its win region (stale step-entry reads + external current-token
+    # merge + ONE batched per-slot append — see the kernel module's
+    # docstring), scale-factored XLA at B>=16, fused dequant below.
+    use_kernel = quant and decode_attn_supported(
+        S, cfg.kv_heads, cfg.head_dim, B)
+    if use_kernel:
+        strict = (ar >= starts[:, None]) & (ar < cur_lens[:, None])
+        ksx, vsx, bias = prepare_decode_attn_operands(kv.k_s, kv.v_s, strict)
+        appends = []
     for i, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
         q = apply_linear(h, lp["q_proj"]).reshape(B, 1, cfg.num_attention_heads, cfg.head_dim)
@@ -239,29 +264,32 @@ def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts):
         if quant:
             k1q, k1s = quantize_kv(k1)
             v1q, v1s = quantize_kv(v1)
-            new = QuantKVCache(
-                _upd_slot(new.k_q, k1q, i, cur_lens),
-                _upd_slot(new.k_s, k1s, i, cur_lens),
-                _upd_slot(new.v_q, v1q, i, cur_lens),
-                _upd_slot(new.v_s, v1s, i, cur_lens),
-            )
-            # same measured form ladder as llama_decode_step: Pallas
-            # flash-decoding in its win region (supported shape, B<=16 —
-            # int8 cache streamed from HBM once, 1.29x/1.45x over the best
-            # XLA form at B=8/16 S=672, tools/bench_attn_forms.py),
-            # scale-factored XLA at B>=16, fused dequant below.
-            if decode_attn_supported(S, cfg.kv_heads, cfg.head_dim, B):
+            if use_kernel:
+                appends.append((k1q, k1s, v1q, v1s))
                 attn = decode_attn_quantcache(
-                    q, new.k_q[i], new.k_s[i], new.v_q[i], new.v_s[i],
-                    kv_mask, num_heads=cfg.num_attention_heads,
-                    sm_scale=1.0 / float(np.sqrt(cfg.head_dim)),
+                    q, kv.k_q, ksx, kv.v_q, vsx, bias,
+                    k1q, k1s, v1q, v1s,
+                    num_heads=cfg.num_attention_heads,
+                    sm_scale=1.0 / float(np.sqrt(cfg.head_dim)), layer=i,
                 )
             elif B >= 16:
+                new = QuantKVCache(
+                    _upd_slot(new.k_q, k1q, i, cur_lens),
+                    _upd_slot(new.k_s, k1s, i, cur_lens),
+                    _upd_slot(new.v_q, v1q, i, cur_lens),
+                    _upd_slot(new.v_s, v1s, i, cur_lens),
+                )
                 attn, _ = _attn_quantcache(
                     q, new.k_q[i], new.k_s[i], new.v_q[i], new.v_s[i],
                     kv_mask[:, None, :], cfg, want_probs=False,
                 )
             else:
+                new = QuantKVCache(
+                    _upd_slot(new.k_q, k1q, i, cur_lens),
+                    _upd_slot(new.k_s, k1s, i, cur_lens),
+                    _upd_slot(new.v_q, v1q, i, cur_lens),
+                    _upd_slot(new.v_s, v1s, i, cur_lens),
+                )
                 k = dequantize_kv(new.k_q[i], new.k_s[i], q.dtype)
                 v = dequantize_kv(new.v_q[i], new.v_s[i], q.dtype)
                 attn, _ = _attn(q, k, v, kv_mask[:, None, :], cfg,
@@ -280,6 +308,15 @@ def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts):
             lp["down_proj"],
         )
         x = x + mlp
+    if use_kernel:
+        # ONE batched per-slot append of every layer's new K/V after the
+        # last stale read — keeps the donated cache's update in place
+        new = QuantKVCache(
+            _upd_slot_all(kv.k_q, [a[0] for a in appends], cur_lens),
+            _upd_slot_all(kv.k_s, [a[1] for a in appends], cur_lens),
+            _upd_slot_all(kv.v_q, [a[2] for a in appends], cur_lens),
+            _upd_slot_all(kv.v_s, [a[3] for a in appends], cur_lens),
+        )
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head", params["embed_tokens"])
     logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
@@ -340,6 +377,13 @@ def _qwen_step_chunk(params, cfg, tokens, kv, cur_lens, starts, deltas,
         ar = jnp.arange(S)[None, :]
         kv_mask = (ar >= starts[:, None]) & (ar <= cur_lens[:, None])
         new = kv
+        use_kernel = quant and decode_attn_supported(
+            S, cfg.kv_heads, cfg.head_dim, B)
+        if use_kernel:
+            strict = (ar >= starts[:, None]) & (ar < cur_lens[:, None])
+            ksx, vsx, bias = prepare_decode_attn_operands(
+                kv.k_s, kv.v_s, strict)
+            appends = []
         for i, lp in enumerate(params["text"]["layers"]):
             h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
             q, k1, v1 = _qkv(lp, cfg, h)
@@ -347,19 +391,22 @@ def _qwen_step_chunk(params, cfg, tokens, kv, cur_lens, starts, deltas,
             if quant:
                 k1q, k1s = quantize_kv(k1)
                 v1q, v1s = quantize_kv(v1)
-                new = QuantKVCache(
-                    _upd_slot(new.k_q, k1q, i, cur_lens),
-                    _upd_slot(new.k_s, k1s, i, cur_lens),
-                    _upd_slot(new.v_q, v1q, i, cur_lens),
-                    _upd_slot(new.v_s, v1s, i, cur_lens),
-                )
-                if decode_attn_supported(S, cfg.kv_heads, cfg.head_dim, B):
+                if use_kernel:
+                    appends.append((k1q, k1s, v1q, v1s))
                     attn = decode_attn_quantcache(
-                        q, new.k_q[i], new.k_s[i], new.v_q[i], new.v_s[i],
-                        kv_mask, num_heads=cfg.num_attention_heads,
+                        q, kv.k_q, ksx, kv.v_q, vsx, bias,
+                        k1q, k1s, v1q, v1s,
+                        num_heads=cfg.num_attention_heads,
                         sm_scale=1.0 / float(np.sqrt(cfg.head_dim)),
+                        layer=i,
                     )
                 else:
+                    new = QuantKVCache(
+                        _upd_slot(new.k_q, k1q, i, cur_lens),
+                        _upd_slot(new.k_s, k1s, i, cur_lens),
+                        _upd_slot(new.v_q, v1q, i, cur_lens),
+                        _upd_slot(new.v_s, v1s, i, cur_lens),
+                    )
                     k = dequantize_kv(new.k_q[i], new.k_s[i], q.dtype)
                     v = dequantize_kv(new.v_q[i], new.v_s[i], q.dtype)
                     attn, _ = _qattn(q, k, v, kv_mask[:, None, :], cfg,
@@ -374,6 +421,13 @@ def _qwen_step_chunk(params, cfg, tokens, kv, cur_lens, starts, deltas,
             x = x + apply_linear(attn, lp["o_proj"])
             h2 = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
             x = x + _mlp(lp, h2)
+        if use_kernel:
+            new = QuantKVCache(
+                _upd_slot_all(kv.k_q, [a[0] for a in appends], cur_lens),
+                _upd_slot_all(kv.k_s, [a[1] for a in appends], cur_lens),
+                _upd_slot_all(kv.v_q, [a[2] for a in appends], cur_lens),
+                _upd_slot_all(kv.v_s, [a[3] for a in appends], cur_lens),
+            )
         x = rms_norm(x, params["text"]["norm"], cfg.rms_norm_eps)
         lm_head = params["text"].get("lm_head", params["text"]["embed_tokens"])
         logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)

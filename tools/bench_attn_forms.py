@@ -120,11 +120,19 @@ def attn_factored_hmajor(q):
 
 def attn_pallas(q):
     """ops/pallas_decode_attn.py: stream the int8 cache once, widen/scale/
-    softmax/PV entirely in VMEM."""
-    from attwarp_tpu.ops.pallas_decode_attn import decode_attn_quantcache
+    softmax/PV entirely in VMEM. The kernel's contract is stale-read +
+    external current-token merge, so this form attends S-1 history slots
+    plus a merged token (the XLA forms attend S slots — same bytes)."""
+    from attwarp_tpu.ops.pallas_decode_attn import (
+        decode_attn_quantcache,
+        prepare_decode_attn_operands,
+    )
 
+    strict = mask[:, 0, :].at[:, S - 1].set(False)
+    ksx, vsx, bias = prepare_decode_attn_operands(ks[None], vs[None], strict)
     out = decode_attn_quantcache(
-        q, k8, ks, v8, vs, mask[:, 0, :],
+        q, k8[None], ksx, v8[None], vsx, bias,
+        k8[:, S - 1:S], ks[:, S - 1:S], v8[:, S - 1:S], vs[:, S - 1:S],
         num_heads=H, sm_scale=scale,
     )
     return out.reshape(B, 1, H, HD)
