@@ -100,10 +100,12 @@ def decode_attn_supported(S: int, kv_heads: int, head_dim: int,
                           batch: int) -> bool:
     """Static gate: S must carry a multiple-of-32 divisor <=256 (any
     64-multiple qualifies; quantized caches are allocated as 64-multiples
-    everywhere in this repo for exactly this reason), head_dim one lane
-    register, and batch inside the measured win region."""
-    return (head_dim == 128 and _seq_tile(S) != 0 and batch <= 16
-            and _backend_on())
+    everywhere in this repo for exactly this reason) and head_dim one lane
+    register. No batch bound: the v2 kernel's effective bandwidth scales
+    monotonically (273/413/473/507 GiB/s at B=8/16/24/32 S=672,
+    tools/bench_attn_forms.py) — the v1 B>=24 collapse was an artifact of
+    its per-rep (n_rep*kvH, kvH*hd) accumulator traffic, gone in v2."""
+    return head_dim == 128 and _seq_tile(S) != 0 and _backend_on()
 
 
 def _kernel(q_ref, kq_ref, ksx_ref, vq_ref, vsx_ref, bias_ref,

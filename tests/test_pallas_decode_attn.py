@@ -129,7 +129,7 @@ def test_parity_left_padded_and_short_history():
 
 def test_supported_gate(monkeypatch):
     """Static gate: 64-multiple cache sizes pass; head_dim must be 128;
-    batch capped at 16 (the kernel's measured win region); CPU backend
+    no batch bound (v2 bandwidth scales monotonically with B); CPU backend
     opts out unless ATTWARP_PALLAS_DECODE=1 (Mosaic kernels need the
     interpreter there)."""
     assert not decode_attn_supported(640, 32, 128, 16)  # cpu backend: off
@@ -137,10 +137,10 @@ def test_supported_gate(monkeypatch):
     assert decode_attn_supported(640, 32, 128, 16)
     assert decode_attn_supported(672, 32, 128, 8)    # 672 = 21*32
     assert decode_attn_supported(1024, 4, 128, 1)
+    assert decode_attn_supported(672, 32, 128, 24)
+    assert decode_attn_supported(672, 32, 128, 32)
     assert not decode_attn_supported(640, 32, 64, 16)
     assert not decode_attn_supported(100, 32, 128, 16)  # no 32-mult divisor
-    assert not decode_attn_supported(672, 32, 128, 24)  # out of win region
-    assert not decode_attn_supported(672, 32, 128, 32)
     assert _seq_tile(640) == 160                  # largest 32-mult divisor
     assert _seq_tile(100) == 0                    # 100 itself is off-grid
     assert _seq_tile(512) == 256
