@@ -234,10 +234,18 @@ def _generate_jit(
         finished = jnp.logical_or(finished, nxt == cfg.eos_token_id)
         return (nxt, kv, finished, carry, full_mask), tok
 
+    # With the flash-decoding kernel in the body, the while-loop carry
+    # boundary copies the whole int8 cache 4x per crossing (the custom-call
+    # reads defeat XLA's in-place carry aliasing; measured +78 ms/step at
+    # 7B B=16). Unrolling amortizes the boundary: inside the straight-line
+    # unrolled block the read-then-append chain stays in place (the same
+    # reason tools/bench_decode.py unrolls).
+    unroll = min(8, max_new_tokens) if kv_quant else 1
     (_, _, _, carry, _), toks = jax.lax.scan(
         body,
         (tok0, kv, finished0, carry0, full_mask),
         jnp.arange(max_new_tokens, dtype=jnp.int32),
+        unroll=unroll,
     )
     if answer_only:
         maps = None

@@ -658,9 +658,13 @@ def _qwen_generate_jit(
         finished = jnp.logical_or(finished, nxt == cfg.eos_token_id)
         return (nxt, kv, finished, carry, full_mask), tok
 
+    # unroll amortizes the while-loop carry-boundary cache copies the
+    # flash-decoding kernel's reads provoke (see _llava_generate's note)
+    unroll = min(8, max_new_tokens) if kv_quant else 1
     (_, _, _, carry, _), toks = jax.lax.scan(
         body, (tok0, kv, finished0, carry0, full_mask),
         jnp.arange(max_new_tokens, dtype=jnp.int32),
+        unroll=unroll,
     )
     if answer_only:
         maps = None

@@ -540,7 +540,12 @@ class ServeEngine:
                 for x in jax.tree_util.tree_leaves((self.kv, model.params))
             ) + sum(x.size * x.dtype.itemsize
                     for x in jax.tree_util.tree_leaves(self.kv))
-            self.chunk_unroll = nbytes > 14 * 2**30
+            # kv_quant also prefers the unrolled chunk: the flash-decoding
+            # kernel's custom-call reads defeat XLA's in-place carry
+            # aliasing at the scan boundary (4 full-cache copies per
+            # crossing; see ops/pallas_decode_attn.py), so the scan form
+            # pays them every step while the unrolled form pays none
+            self.chunk_unroll = kv_quant or nbytes > 14 * 2**30
         else:
             self.chunk_unroll = chunk_impl == "unroll"
         self._slots = [_Slot() for _ in range(slots)]
