@@ -4,7 +4,8 @@ A stream of requests (random prompt lengths, one 64-token length bucket
 each) through ``ServeEngine`` on one chip: aggregate generated tok/s and
 per-request latency. The reference has no serving counterpart; the
 comparable internal number is tools/bench_decode.py's fixed-batch decode
-(509 tok/s at int8+kv8 B=8), which a real request stream can't sustain
+(1355 tok/s at int8+kv8 B=32 via the flash-decoding kernel), which a real
+request stream can't sustain
 without continuous batching — this measures how close the engine gets with
 admission/harvest overhead included.
 
