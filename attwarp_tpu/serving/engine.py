@@ -673,6 +673,22 @@ class ServeEngine:
                 self.queue.appendleft(req)
             raise
 
+    def _run_prefill(self, ids, mask, pixels, Tb: int, with_image: bool):
+        """Admission-prefill hook: runs the batched LLaVA prefill on this
+        engine's own devices. ``serving/disagg.py`` overrides it to run on
+        a separate prefill device group and ship the KV block across."""
+        return _prefill(
+            self.model.params, self.cfg, self.tcfg, ids, mask, pixels, Tb,
+            self.kv_quant, with_image, self.use_flash,
+        )
+
+    def _run_qwen_prefill(self, ids, mask, patches, pos, grid, Tb: int):
+        """Per-request Qwen2-VL admission-prefill hook (see _run_prefill)."""
+        return _qwen_prefill(
+            self.model.params, self.cfg, self.tcfg, ids, mask, patches,
+            pos, grid, Tb, self.kv_quant, self.use_flash,
+        )
+
     def _prefill_group(self, Tb: int, with_image: bool, chunk) -> None:
         """One batched prefill + one grouped insert for ``chunk`` =
         [(slot, request), ...] sharing a length bucket."""
@@ -690,11 +706,8 @@ class ServeEngine:
                         jnp.float32)
             if with_image else jnp.zeros((n, 1, 1, 3), jnp.float32)
         )
-        firsts, block = _prefill(
-            self.model.params, self.cfg, self.tcfg, jnp.asarray(ids),
-            jnp.asarray(mask), pixels, Tb, self.kv_quant, with_image,
-            self.use_flash,
-        )
+        firsts, block = self._run_prefill(
+            jnp.asarray(ids), jnp.asarray(mask), pixels, Tb, with_image)
         slots_idx = jnp.asarray([b for b, _ in chunk], jnp.int32)
         if self.kv_quant:
             self.kv = _insert_quant_group(self.kv, block, slots_idx, self.tcfg)
@@ -755,11 +768,9 @@ class ServeEngine:
             ids, mask.astype(np.int64), grid or (1, 2, 2),
             self.cfg.image_token_id, self.cfg.vision.spatial_merge_size,
         )
-        first, block = _qwen_prefill(
-            self.model.params, self.cfg, self.tcfg, jnp.asarray(ids),
-            jnp.asarray(mask), patches, jnp.asarray(pos), grid, Tb,
-            self.kv_quant, self.use_flash,
-        )
+        first, block = self._run_qwen_prefill(
+            jnp.asarray(ids), jnp.asarray(mask), patches, jnp.asarray(pos),
+            grid, Tb)
         # decode positions are (valid_len + generated) + delta_eng with
         # delta_eng re-based to VALID length (get_mrope_positions returns
         # it relative to the padded length)
