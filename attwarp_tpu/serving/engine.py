@@ -15,13 +15,15 @@ shardings like every other jitted consumer):
   length bucket: cache positions ``[0, start)`` hold masked padding,
   ``[start, cur_len)`` the prompt, and rope positions are
   ``cur_len - start`` (cache position minus the pad offset) — see
-  ``_prefill_into``.
-- **Admission**: queued requests are BATCHED by 64-token length bucket and
-  prefilled together (one compilation per (bucket, power-of-two group
-  size), groups capped at ``admit_batch``); the K/V blocks are inserted
-  into free slots in one dispatch and the first generated tokens come from
-  the prefill logits. (Qwen2-VL admits per request — per-request vision
-  grids and M-RoPE deltas.)
+  ``_prefill_group`` / ``_prefill_qwen_group``.
+- **Admission**: queued requests are BATCHED by (64-token length bucket,
+  pixel shape) and prefilled together (one compilation per (bucket,
+  power-of-two group size), groups capped at ``admit_batch``); the K/V
+  blocks are inserted into free slots in one dispatch and the first
+  generated tokens come from the prefill logits. Both families batch:
+  Qwen2-VL's equal-pixel-shape grouping guarantees equal vision grids, so
+  one static grid serves the vmapped vision tower and the shared M-RoPE
+  structure, while rope deltas stay per-request.
 - **Step**: one jit advances every slot: per-slot rope position and
   per-slot cache write position (vmapped ``dynamic_update_slice``), masked
   attention over each slot's own prefix, greedy argmax. Inactive slots
@@ -118,24 +120,18 @@ def _insert_quant_group(cache: QuantKVCache, block: QuantKVCache, slots, cfg):
 
 
 @partial(jax.jit, donate_argnums=(0,))
-def _insert_tuple(cache, block, slot):
-    """Dense tuple cache (Qwen2-VL convention): write the prefill block."""
-    return tuple(
-        jax.lax.dynamic_update_slice(c, b.astype(c.dtype), (0, slot, 0, 0, 0))
-        for c, b in zip(cache, block)
-    )
-
-
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def _insert_quant(cache: QuantKVCache, block: QuantKVCache, slot, cfg):
-    def ins(big, small):
-        zeros = (0,) * (big.ndim - 2)
-        return jax.lax.dynamic_update_slice(big, small, (0, slot, *zeros))
-
-    return QuantKVCache(
-        ins(cache.k_q, block.k_q), ins(cache.k_s, block.k_s),
-        ins(cache.v_q, block.v_q), ins(cache.v_s, block.v_s),
-    )
+def _insert_tuple_group(cache, block, slots):
+    """Dense tuple cache: write a BATCHED block (L, n, Tb, H, D) into ``n``
+    slots in one dispatch (the Qwen2-VL counterpart of
+    ``_insert_dense_group``)."""
+    k, v = cache
+    bk, bv = block
+    for j in range(bk.shape[1]):
+        k = jax.lax.dynamic_update_slice(
+            k, bk[:, j:j + 1].astype(k.dtype), (0, slots[j], 0, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            v, bv[:, j:j + 1].astype(v.dtype), (0, slots[j], 0, 0, 0))
+    return (k, v)
 
 
 def _sample_tokens(logits, keys, temps, top_k: int):
@@ -331,9 +327,12 @@ def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts):
 def _qwen_prefill(params, cfg, tcfg, ids, mask, patches, positions,
                   grid_thw, max_seq: int, kv_quant: bool,
                   use_flash: bool = False):
-    """Qwen2-VL single-request prefill: vision tower (when patches given) +
-    M-RoPE text prefill. ``positions`` (3, 1, Tb) come from
-    ``get_mrope_positions`` on the host."""
+    """Qwen2-VL admission prefill, batched like the LLaVA one: vision tower
+    (vmapped over per-sample patches when given) + M-RoPE text prefill.
+    ``ids``/``mask`` are (n, Tb), ``positions`` (3, n, Tb) come from the
+    batched ``get_mrope_positions`` on the host, ``patches`` is
+    (n, N, C·T·P·P) for one same-grid image per sample (grouping by pixel
+    shape guarantees equal grids) or a dummy when ``grid_thw`` is None."""
     from attwarp_tpu.models.qwen2vl import (
         embed_and_splice as qwen_splice,
         mrope_cos_sin,
@@ -342,9 +341,11 @@ def _qwen_prefill(params, cfg, tcfg, ids, mask, patches, positions,
     )
 
     if grid_thw is not None:
-        feats = qwen2vl_vision_features(
-            params["vision"], cfg.vision, patches, (grid_thw[1], grid_thw[2])
-        )
+        feats = jax.vmap(
+            lambda p: qwen2vl_vision_features(
+                params["vision"], cfg.vision, p, (grid_thw[1], grid_thw[2])
+            )
+        )(patches)                                   # (n, N/merge², D)
         embeds = qwen_splice(params, cfg, ids, feats)
     else:
         embeds = params["text"]["embed_tokens"][jnp.clip(ids, 0, None)]
@@ -621,8 +622,8 @@ class ServeEngine:
         chunks use power-of-two sizes capped at ``admit_batch`` so the
         prefill compiles once per (bucket, size), not per arrival count.
 
-        The Qwen2-VL family keeps per-request admission (per-request vision
-        grids / M-RoPE deltas)."""
+        Both families batch: Qwen2-VL groups additionally key on pixel
+        shape (⇒ equal vision grid), and M-RoPE deltas stay per-request."""
         free = [b for b, s in enumerate(self._slots)
                 if not (s.active or s.pending)]
         n = min(len(free), len(self.queue))
@@ -640,14 +641,11 @@ class ServeEngine:
         # slots (run() would otherwise spin on them forever).
         admitted = set()
         try:
-            if self.family == "qwen2vl":
-                for b, req in pairs:
-                    first = self._prefill_into(b, req)
-                    self._pending.append((b, req, first))
-                    admitted.add(b)
-                return
             # Group by (length bucket, pixel shape): mixed image shapes in
-            # one bucket must not share an np.stack / jitted program.
+            # one bucket must not share an np.stack / jitted program. For
+            # Qwen2-VL equal pixel shape also means equal vision grid, so
+            # the M-RoPE structure is shared and admission batches exactly
+            # like LLaVA's (deltas stay per-request, computed host-side).
             groups: Dict[Tuple[int, Optional[Tuple[int, ...]]], List] = {}
             for b, req in pairs:
                 T = len(req.input_ids)
@@ -656,13 +654,15 @@ class ServeEngine:
                 pix = (None if req.pixel_values is None
                        else tuple(np.shape(req.pixel_values)))
                 groups.setdefault((Tb, pix), []).append((b, req))
+            prefill = (self._prefill_qwen_group if self.family == "qwen2vl"
+                       else self._prefill_group)
             for (Tb, pix), members in groups.items():
                 i = 0
                 while i < len(members):
                     size = 1 << ((len(members) - i).bit_length() - 1)
                     size = min(size, self.admit_batch)
                     chunk = members[i:i + size]
-                    self._prefill_group(Tb, pix is not None, chunk)
+                    prefill(Tb, pix is not None, chunk)
                     admitted.update(b for b, _ in chunk)
                     i += size
         except Exception:
@@ -737,52 +737,59 @@ class ServeEngine:
                 self._retire(b)
         self._pending.clear()
 
-    def _prefill_into(self, b: int, req: Request) -> int:
-        """Per-request Qwen2-VL admission: left-pad the prompt inside its
-        64-token bucket (ONE compilation per bucket), prefill, insert the
-        block at [0, Tb) of the slot. (The LLaVA family admits exclusively
-        through the batched ``_prefill_group``; per-request vision grids and
-        M-RoPE deltas keep Qwen2-VL on this path.)"""
+    def _prefill_qwen_group(self, Tb: int, with_image: bool, chunk) -> None:
+        """Batched Qwen2-VL admission for ``chunk`` = [(slot, request), ...]
+        sharing a (length bucket, pixel shape): one vmapped-vision M-RoPE
+        prefill + one grouped insert. Equal pixel shape ⇒ equal vision grid
+        (patchify is shape-deterministic), so a single static ``grid_thw``
+        serves the whole group; rope deltas are per-request and re-based
+        from the padded to the valid length, exactly as the per-request
+        path did."""
         assert self.family == "qwen2vl", self.family
-        T = len(req.input_ids)
-        Tb = min(-(-T // self.bucket) * self.bucket, self.max_seq)
-        pad = Tb - T
-        assert T <= self.max_seq - 1, (T, self.max_seq)
-        ids = np.zeros((1, Tb), np.int64)
-        ids[0, pad:] = req.input_ids
-        mask = np.zeros((1, Tb), bool)
-        mask[0, pad:] = True
-        with_image = req.pixel_values is not None
         from attwarp_tpu.models.qwen2vl import (
             get_mrope_positions,
             patchify_image,
         )
 
+        n = len(chunk)
+        ids = np.zeros((n, Tb), np.int64)
+        mask = np.zeros((n, Tb), bool)
+        for j, (b, req) in enumerate(chunk):
+            pad = Tb - len(req.input_ids)
+            ids[j, pad:] = req.input_ids
+            mask[j, pad:] = True
+            self.cur_lens[b] = Tb   # next write position (after the bucket)
+            self.starts[b] = pad    # pad region permanently masked
         if with_image:
-            patches, grid = patchify_image(req.pixel_values,
-                                           self.cfg.vision)
-            patches = jnp.asarray(patches)
+            pats, grids = zip(*(patchify_image(req.pixel_values,
+                                               self.cfg.vision)
+                                for _, req in chunk))
+            grid = grids[0]
+            assert all(g == grid for g in grids), grids
+            patches = jnp.asarray(np.stack(pats))    # (n, N, C·T·P·P)
         else:
-            patches, grid = jnp.zeros((4, 8), jnp.float32), None
+            patches, grid = jnp.zeros((n, 4, 8), jnp.float32), None
         pos, deltas = get_mrope_positions(
             ids, mask.astype(np.int64), grid or (1, 2, 2),
             self.cfg.image_token_id, self.cfg.vision.spatial_merge_size,
         )
-        first, block = self._run_qwen_prefill(
+        firsts, block = self._run_qwen_prefill(
             jnp.asarray(ids), jnp.asarray(mask), patches, jnp.asarray(pos),
             grid, Tb)
         # decode positions are (valid_len + generated) + delta_eng with
         # delta_eng re-based to VALID length (get_mrope_positions returns
-        # it relative to the padded length)
-        self.deltas[b] = int(deltas[0]) + pad
+        # it relative to the padded length Tb)
+        for j, (b, req) in enumerate(chunk):
+            self.deltas[b] = int(deltas[j]) + (Tb - len(req.input_ids))
+        slots_idx = jnp.asarray([b for b, _ in chunk], jnp.int32)
         if self.kv_quant:
-            self.kv = _insert_quant(self.kv, block, jnp.int32(b), self.tcfg)
+            self.kv = _insert_quant_group(self.kv, block, slots_idx,
+                                          self.tcfg)
         else:
-            self.kv = _insert_tuple(self.kv, block, jnp.int32(b))
-        self.cur_lens[b] = Tb       # next write position (after the bucket)
-        self.starts[b] = pad        # pad region permanently masked
-        return first                # UNSYNCED (B=1,) jax array — _admit
-                                    # fetches the whole admission wave at once
+            self.kv = _insert_tuple_group(self.kv, block, slots_idx)
+        for j, (b, req) in enumerate(chunk):
+            # UNSYNCED (1,) jax slices — _admit fetches the wave at once
+            self._pending.append((b, req, firsts[j:j + 1]))
 
     def _tick(self):
         K = self.steps_per_tick

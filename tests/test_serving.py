@@ -230,6 +230,47 @@ def test_qwen_engine_matches_per_request_generate(qwen_model, rng, kv_quant,
             assert out[rid] == ref, (rid, out[rid], ref)
 
 
+def test_qwen_batched_admission_mixed_shapes(qwen_model, rng):
+    """Batched Qwen2-VL admission groups by (bucket, pixel shape): a wave
+    mixing two image sizes (different vision grids) and a text-only prompt
+    must split into per-shape grouped prefills and still match per-request
+    generate token for token."""
+    from attwarp_tpu.models.qwen2vl import patchify_image
+
+    m = qwen_model
+    eng = ServeEngine(m, slots=4, max_seq=96, bucket=16, steps_per_tick=4,
+                      admit_batch=4)
+    reqs = []
+    for T, side in ((12, 56), (14, 56), (13, 84), (11, None)):
+        ids = rng.integers(3, 90, size=(T,)).astype(np.int64)
+        img = None
+        if side is not None:
+            n_tok = (side // 14 // 2) ** 2       # merged image tokens
+            ids[1] = 96                          # vision_start
+            ids[2:2 + n_tok] = 97
+            img = rng.standard_normal((side, side, 3)).astype(np.float32)
+        rid = eng.submit(ids, img, max_new_tokens=4)
+        reqs.append((rid, ids, img))
+    out = eng.run()
+    for rid, ids, img in reqs:
+        if img is None:
+            # text-only reference: a 2x2 dummy grid with no image tokens in
+            # ids leaves the splice a no-op (order indexes clip to 0, the
+            # is_img mask is all-False), matching HF's text-only branch
+            patches, grid = patchify_image(
+                np.zeros((28, 28, 3), np.float32), m.cfg.vision)
+        else:
+            patches, grid = patchify_image(img, m.cfg.vision)
+        gen, _ = m.generate_with_attention(
+            ids[None], patches, grid, np.ones((1, len(ids)), np.int64),
+            extract_layer=None, max_new_tokens=4,
+        )
+        ref = [int(t) for t in np.asarray(gen)[0]]
+        if m.cfg.eos_token_id in ref:
+            ref = ref[: ref.index(m.cfg.eos_token_id) + 1]
+        assert out[rid] == ref, (rid, out[rid], ref)
+
+
 def test_serve_cli_end_to_end(model, rng, tmp_path):
     """cli.serve: backend checkpoint -> requests JSONL -> answers JSONL."""
     import json
@@ -451,8 +492,8 @@ def test_admission_failure_rolls_back_and_engine_recovers(model, rng,
 
 
 def test_qwen_admission_failure_rolls_back(qwen_model, rng, monkeypatch):
-    """Same rollback contract on the per-request Qwen2-VL admission path:
-    a crashed _prefill_into restores slots + queue, then a retry serves."""
+    """Same rollback contract on the Qwen2-VL admission path: a crashed
+    _prefill_qwen_group restores slots + queue, then a retry serves."""
     eng = ServeEngine(qwen_model, slots=2, max_seq=64, bucket=16,
                       steps_per_tick=4)
     ids = rng.integers(3, 90, size=(12,)).astype(np.int64)
@@ -461,15 +502,15 @@ def test_qwen_admission_failure_rolls_back(qwen_model, rng, monkeypatch):
     img = rng.standard_normal((56, 56, 3)).astype(np.float32)
     rid = eng.submit(ids, img, max_new_tokens=4)
 
-    def boom(self, b, req):
+    def boom(self, Tb, with_image, chunk):
         raise RuntimeError("injected qwen prefill failure")
 
-    real = ServeEngine._prefill_into
-    monkeypatch.setattr(ServeEngine, "_prefill_into", boom)
+    real = ServeEngine._prefill_qwen_group
+    monkeypatch.setattr(ServeEngine, "_prefill_qwen_group", boom)
     with pytest.raises(RuntimeError, match="injected"):
         eng._admit()
     assert [r.rid for r in eng.queue] == [rid]
     assert not any(s.pending or s.active for s in eng._slots)
-    monkeypatch.setattr(ServeEngine, "_prefill_into", real)
+    monkeypatch.setattr(ServeEngine, "_prefill_qwen_group", real)
     out = eng.run()
     assert rid in out and 1 <= len(out[rid]) <= 4
