@@ -19,15 +19,17 @@
 #
 # Expected timings (one v5e chip through the axon relay; ARCHITECTURE.md):
 #   port (step 1):      ~10-20 min  (7B f32 torch load + transpose + orbax)
-#   extraction (step 3): ~9.7 samples/s at int8+flash batch 16, AFTER a
+#   extraction (step 3): ~10.5 samples/s at int8+kv8 batch 16, AFTER a
 #                        one-time jit compile that can take 10-25 min for
-#                        the flash B=16 program — do not kill the quiet
+#                        a 7B B=16 program — do not kill the quiet
 #                        phase. The CLIs persist compiled executables
 #                        (utils/compile_cache.py; $ATTWARP_COMPILE_CACHE_DIR
 #                        overrides the ~/.cache/attwarp_tpu default), so
 #                        re-runs and the evaluate step skip the long waits.
-#   answering (step 4):  ~520 tok/s aggregate at 16 serving slots (int8
-#                        weights, batched admission + flash prefill)
+#   answering (step 4):  ~680 tok/s aggregate at 32 serving slots (int8
+#                        weights + int8 KV cache read by the Pallas
+#                        flash-decoding kernel, batched admission + flash
+#                        prefill)
 # TextVQA val (5000 samples) ≈ 9 min extraction + ~1.5 h scoring both
 # warped and original images at 64 max-new-tokens.
 set -euo pipefail
@@ -86,23 +88,24 @@ fi
        "and the OpenImages train_images split)" >&2; exit 2; }
 
 # ── 3. first pass: extraction -> MOTA mask -> warp (9-dir artifacts) ────
-log "processing dataset (extraction + warp; int8 weights, flash prefill) ..."
+log "processing dataset (extraction + warp; int8 weights + int8 KV cache) ..."
 python -m attwarp_tpu.cli.process_dataset \
     --textvqa-json "$TEXTVQA_JSON" --image-dir "$IMAGE_DIR" \
     --output-dir "$PROC" \
-    --backend "llava-ckpt:$CKPT+int8+flash" \
+    --backend "llava-ckpt:$CKPT+int8+kv8" \
     --batch-size 16 --layer-index 20 \
     ${LIMIT:+--limit "$LIMIT"}
 
 # ── 4. second pass: answer on warped AND original, report the gain ──────
-# Dense KV cache on purpose: at 16 slots the int8 cache's decode-attention
-# loads collapse throughput (ARCHITECTURE.md "Why B>=16 collapses"); the
-# measured 522.9 tok/s 16-slot config is int8 weights + flash + dense cache.
-log "evaluating (16-slot serving engine; scores warped vs original) ..."
+# int8 KV cache: the Pallas flash-decoding kernel made +kv8 the fastest
+# config at width (ARCHITECTURE.md decode table — 1355 tok/s at B=32;
+# extraction headline 10.53 samples/s at int8+kv8 B=16), and the halved
+# cache HBM is what lets 32 slots fit beside the int8 weights.
+log "evaluating (32-slot serving engine; scores warped vs original) ..."
 python -m attwarp_tpu.cli.evaluate \
     --metadata-dir "$PROC/metadata" --output-dir "$EVAL" \
-    --model "llava-ckpt:$CKPT+int8+flash" \
-    --serve-slots 16 --score-original \
+    --model "llava-ckpt:$CKPT+int8+kv8+flash" \
+    --serve-slots 32 --score-original \
     ${LIMIT:+--limit "$LIMIT"}
 
 log "done; final artifacts:"
