@@ -134,11 +134,23 @@ def _insert_tuple_group(cache, block, slots):
     return (k, v)
 
 
-def _sample_tokens(logits, keys, temps, top_k: int):
+def _sample_tokens(logits, keys, temps, top_k: int, any_sampling: bool = True):
     """Per-slot token choice: greedy where ``temps[b] == 0``, else
     temperature (optionally top-k-truncated) sampling with that slot's own
-    PRNG key. Returns (tokens (B,), new keys (B, 2))."""
+    PRNG key. Returns (tokens (B,), new keys (B, 2)).
+
+    ``any_sampling`` is a STATIC flag the engine derives from the active
+    slots' temperatures: when False the categorical branch is skipped
+    entirely, saving a ``B × vocab`` gumbel draw per step (64 slots × 152k
+    Qwen2 vocab = 9.7M threefry values) that the ``where`` would discard.
+    Measured NEUTRAL on the Qwen2-VL-7B chunk at B=64 (44.9 ms/step either
+    way — the draw hides behind the weight streaming), so this is program
+    hygiene, not the chunk's bottleneck; kept because it is free and the
+    saving is shape-dependent. Flipping the flag costs one extra chunk
+    compile per direction."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if not any_sampling:
+        return greedy, keys
 
     def one(logit, key, temp):
         key, sub = jax.random.split(key)
@@ -176,11 +188,12 @@ def _upd_slot_all(cache, new_per_layer, cur_lens):
     return cache.at[li, bi, ci].set(stacked)
 
 
-@partial(jax.jit, static_argnames=("cfg", "k_steps", "top_k", "unroll"),
+@partial(jax.jit,
+         static_argnames=("cfg", "k_steps", "top_k", "unroll", "sampling"),
          donate_argnums=(3,))
 def _step_chunk(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts,
                 keys, temps, k_steps: int, top_k: int = 0,
-                unroll: bool = False):
+                unroll: bool = False, sampling: bool = True):
     """Advance every slot ``k_steps`` tokens in ONE dispatch.
 
     Dispatch latency dominates a per-token host loop (through the remote
@@ -203,7 +216,7 @@ def _step_chunk(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts,
         chunk = []
         for _ in range(k_steps):
             logits, kv = _step(params, cfg, tokens, kv, cur_lens, starts)
-            tokens, keys = _sample_tokens(logits, keys, temps, top_k)
+            tokens, keys = _sample_tokens(logits, keys, temps, top_k, sampling)
             cur_lens = cur_lens + 1
             chunk.append(tokens)
         return jnp.stack(chunk), kv, cur_lens, keys
@@ -211,7 +224,7 @@ def _step_chunk(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts,
     def body(carry, _):
         tokens, kv, cur_lens, keys = carry
         logits, kv = _step(params, cfg, tokens, kv, cur_lens, starts)
-        nxt, keys = _sample_tokens(logits, keys, temps, top_k)
+        nxt, keys = _sample_tokens(logits, keys, temps, top_k, sampling)
         return (nxt, kv, cur_lens + 1, keys), nxt
 
     (_, kv, cur_lens, keys), chunk = jax.lax.scan(
@@ -357,11 +370,12 @@ def _qwen_prefill(params, cfg, tcfg, ids, mask, patches, positions,
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), block
 
 
-@partial(jax.jit, static_argnames=("cfg", "k_steps", "top_k", "unroll"),
+@partial(jax.jit,
+         static_argnames=("cfg", "k_steps", "top_k", "unroll", "sampling"),
          donate_argnums=(3,))
 def _qwen_step_chunk(params, cfg, tokens, kv, cur_lens, starts, deltas,
                      keys, temps, k_steps: int, top_k: int = 0,
-                     unroll: bool = False):
+                     unroll: bool = False, sampling: bool = True):
     """Chunked Qwen decode: all three M-RoPE streams share the text position
     ``(cur_len - start) + delta`` per slot (HF get_rope_index semantics for
     tokens after the prompt)."""
@@ -441,7 +455,7 @@ def _qwen_step_chunk(params, cfg, tokens, kv, cur_lens, starts, deltas,
         chunk = []
         for _ in range(k_steps):
             logits, kv = one(tokens, kv, cur_lens)
-            tokens, keys = _sample_tokens(logits, keys, temps, top_k)
+            tokens, keys = _sample_tokens(logits, keys, temps, top_k, sampling)
             cur_lens = cur_lens + 1
             chunk.append(tokens)
         return jnp.stack(chunk), kv, cur_lens, keys
@@ -449,7 +463,7 @@ def _qwen_step_chunk(params, cfg, tokens, kv, cur_lens, starts, deltas,
     def body(carry, _):
         tokens, kv, cur_lens, keys = carry
         logits, kv = one(tokens, kv, cur_lens)
-        nxt, keys = _sample_tokens(logits, keys, temps, top_k)
+        nxt, keys = _sample_tokens(logits, keys, temps, top_k, sampling)
         return (nxt, kv, cur_lens + 1, keys), nxt
 
     (_, kv, cur_lens, keys), chunk = jax.lax.scan(
@@ -793,13 +807,18 @@ class ServeEngine:
 
     def _tick(self):
         K = self.steps_per_tick
+        # STATIC sampling gate: an all-greedy pool (temps reset to 0 on
+        # retire, set before activation) skips the per-step B×vocab gumbel
+        # draw entirely — _sample_tokens documents the magnitude. Flipping
+        # the flag costs one extra chunk compile per direction.
+        sampling = bool((self.temps > 0).any())
         if self.family == "qwen2vl":
             chunk, self.kv, _, keys = _qwen_step_chunk(
                 self.model.params, self.tcfg,
                 jnp.asarray(self.tokens), self.kv, jnp.asarray(self.cur_lens),
                 jnp.asarray(self.starts), jnp.asarray(self.deltas),
                 jnp.asarray(self.keys), jnp.asarray(self.temps), K,
-                self.top_k, self.chunk_unroll,
+                self.top_k, self.chunk_unroll, sampling,
             )
             self.keys = np.array(keys)  # writable host copy
         else:
@@ -808,6 +827,7 @@ class ServeEngine:
                 jnp.asarray(self.tokens), self.kv, jnp.asarray(self.cur_lens),
                 jnp.asarray(self.starts), jnp.asarray(self.keys),
                 jnp.asarray(self.temps), K, self.top_k, self.chunk_unroll,
+                sampling,
             )
             self.keys = np.array(keys)  # writable host copy
         # ONE host round-trip fetches the chunk AND any pending admissions'

@@ -347,7 +347,7 @@ def test_tick_retires_on_chunk_final_eos(model, rng, monkeypatch):
     eos = eng.cfg.eos_token_id
 
     def fake_chunk(params, cfg, tokens, kv, cur_lens, starts, keys, temps,
-                   k_steps, top_k=0, unroll=False):
+                   k_steps, top_k=0, unroll=False, sampling=True):
         # one non-EOS token, then EOS exactly at the chunk boundary
         return (jnp.asarray([[5], [eos]], jnp.int32), kv,
                 cur_lens + k_steps, keys)
