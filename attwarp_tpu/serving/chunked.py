@@ -1,0 +1,512 @@
+"""Chunked-prefill co-scheduling: prefill rides the decode weight stream.
+
+WHY. The measured single-chip serving optimum is ADMISSION-bound
+(ARCHITECTURE.md: 32 slots at 684.3 tok/s ≈ 99% of the *serialized*
+decode+prefill ideal — roughly half the wall clock is 640-token admission
+prefills that stall the slot pool). But 7B decode is HBM-bandwidth-bound
+(the step streams ~13 GB of weights+cache and leaves the MXU ~90% idle)
+while prefill is MXU-bound (~80% of bf16 peak) — the two phases starve
+DIFFERENT units, so serializing them wastes each one's idle resource.
+
+HOW (the Sarathi/vLLM chunked-prefill idea, built TPU-native). Each decode
+step carries a P-token slice of one admitting prompt THROUGH THE SAME
+MATMULS as the decode rows: hidden states are concatenated to (B+P, D)
+for every projection/MLP, so the weights stream from HBM once per step
+and the prefill tokens ride for (almost) free — the marginal cost is MXU
+time the decode step wasn't using anyway. A 640-token prompt admits in
+ceil(640/P) steps with zero dedicated prefill dispatches.
+
+Numerics are IDENTICAL to the monolithic admission path:
+
+- chunk self-attention reads a bf16 **staging buffer** holding the
+  prompt's exact K/V so far (never the quantized cache) — the softmax row
+  for prompt position g sees exactly the keys [0, g], same operands as
+  the one-shot prefill;
+- each chunk's K/V is **written through** to the slot cache as it is
+  computed (quantized per (token, head) when ``kv_quant`` — the same
+  scales the monolithic prefill would produce, since scales never cross
+  tokens), so when the last chunk lands the slot cache holds bit-identical
+  contents and decode proceeds as if `_prefill` + insert had run;
+- the first generated token is the argmax over the prompt's last valid
+  row, like `_prefill`.
+
+Static-shape tricks (everything is one compiled tick program):
+
+- **sink slot**: the pool allocates ``slots + 1`` cache rows; the extra
+  row is a write sink for inactive chunk descriptors, so no `lax.cond`
+  ever wraps a cache write (a conditional around the donated cache risks
+  the same copy pathologies as the scan carry — see
+  ops/pallas_decode_attn.py).
+- **OOB write-drop**: slots that are free or mid-admission keep
+  ``cur_lens = max_seq``; their decode-row scatter writes fall out of
+  bounds and XLA DROPS them (scatter semantics), so garbage decode rows
+  never corrupt a freshly written prompt. (`dynamic_update_slice` CLAMPS
+  instead — cache writes on this path must stay scatter-based.)
+- **scratch region**: the staging buffer is ``stage_cap + P`` long; an
+  inactive chunk writes at ``dst = stage_cap``.
+
+Scheduling (host side, `run`): admissions are FIFO; one chunk per decode
+step; an admission's chunks are contiguous (never interleaved with another
+prompt's), which keeps the single staging buffer correct — a new prompt
+only reuses staging after its predecessor's write-through completed.
+
+Reference: the reference has no serving at all (SURVEY §2); this is the
+TPU-native production path beyond `ServeEngine`'s serialized admission.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attwarp_tpu.models.llama import (
+    LlamaConfig,
+    LlamaKVCache,
+    QuantKVCache,
+    _attn,
+    _attn_quantcache,
+    apply_rope,
+    rms_norm,
+    rope_cos_sin,
+)
+from attwarp_tpu.numerics.quant import apply_linear, dequantize_kv, quantize_kv
+from attwarp_tpu.ops.pallas_decode_attn import (
+    decode_attn_quantcache,
+    decode_attn_supported,
+    prepare_decode_attn_operands,
+)
+from attwarp_tpu.serving.engine import (
+    Request,
+    ServeEngine,
+    _sample_tokens,
+    _upd_slot,
+    _upd_slot_all,
+)
+
+
+# ── jitted programs ──────────────────────────────────────────────────────
+
+
+@partial(jax.jit, static_argnames=("cfg", "with_image", "stage_cap"))
+def _embed_prompt(params, cfg, ids, pixels, with_image: bool, stage_cap: int):
+    """Prompt embeddings (vision tower + splice for image requests), padded
+    to the staging capacity: (stage_cap, D). One compile per (bucket,
+    pixel-shape). This is the only per-admission program — the layers all
+    run inside the shared tick."""
+    if with_image:
+        from attwarp_tpu.models.llava import embed_and_splice
+
+        embeds = embed_and_splice(params, cfg, ids, pixels)
+    else:
+        embeds = params["llama"]["embed_tokens"][jnp.clip(ids, 0, None)]
+    e = embeds[0]
+    return jnp.pad(e, ((0, stage_cap - e.shape[0]), (0, 0)))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _embq_insert(embq, e, row):
+    return jax.lax.dynamic_update_slice(embq, e[None], (row, 0, 0))
+
+
+def _fused_step(params, cfg: LlamaConfig, tokens, kv, stage, x_chk,
+                cur_lens, starts, dst, cslot, cpad, lastrow):
+    """ONE decode step for every slot + ONE P-token prefill chunk, sharing
+    the weight stream. Returns (decode logits (B', vocab), first-token
+    logits row (vocab,), kv, stage, final chunk hidden (P, D)).
+
+    Mirrors ``engine._step``'s measured decode-form ladder exactly (Pallas
+    flash-decoding kernel in its gate, scale-factored XLA at B>=16, fused
+    dequant below); the chunk rows add, per layer: one staging append +
+    one dense (P, SK) attention + one per-chunk cache write-through.
+    """
+    B = tokens.shape[0]
+    P = x_chk.shape[0]
+    quant = isinstance(kv, QuantKVCache)
+    S = (kv.k_q if quant else kv.k).shape[2]
+    stage_k, stage_v = stage
+    SK = stage_k.shape[1]
+    H, kvH, hd = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
+
+    emb = params["embed_tokens"][tokens][:, None, :]
+    positions = cur_lens - starts
+    cos, sin = rope_cos_sin(positions[:, None], hd, cfg.rope_theta)
+    # chunk rope positions: global g = dst + j, left-pad convention
+    g = dst + jnp.arange(P)
+    cpos = jnp.clip(g - cpad, 0)
+    ccos, csin = rope_cos_sin(cpos[None, :], hd, cfg.rope_theta)
+    ar = jnp.arange(S)[None, :]
+    kv_mask = (ar >= starts[:, None]) & (ar <= cur_lens[:, None])
+    # chunk rows attend their own prompt's staging history: pad <= m <= g
+    mk = jnp.arange(SK)[None, None, :]
+    cmask = (mk >= cpad) & (mk <= g[None, :, None])       # (1, P, SK)
+
+    x = emb
+    new = kv
+    use_kernel = quant and decode_attn_supported(S, kvH, hd, B)
+    if use_kernel:
+        strict = (ar >= starts[:, None]) & (ar < cur_lens[:, None])
+        ksx, vsx, bias = prepare_decode_attn_operands(kv.k_s, kv.v_s, strict)
+        appends = []
+    for i, lp in enumerate(params["layers"]):
+        h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+        hc = rms_norm(x_chk, lp["input_layernorm"], cfg.rms_norm_eps)
+        hcat = jnp.concatenate([h[:, 0], hc], axis=0)      # (B+P, D)
+        qa = apply_linear(hcat, lp["q_proj"])
+        ka = apply_linear(hcat, lp["k_proj"])
+        va = apply_linear(hcat, lp["v_proj"])
+        q = qa[:B].reshape(B, 1, H, hd)
+        k1 = ka[:B].reshape(B, 1, kvH, hd)
+        v1 = va[:B].reshape(B, 1, kvH, hd)
+        qc = qa[B:].reshape(1, P, H, hd)
+        kc = ka[B:].reshape(1, P, kvH, hd)
+        vc = va[B:].reshape(1, P, kvH, hd)
+        q, k1 = apply_rope(q, k1, cos, sin)
+        qc, kc = apply_rope(qc, kc, ccos, csin)
+        # chunk: append exact K/V to staging, then attend [0, g] exactly
+        stage_k = jax.lax.dynamic_update_slice(
+            stage_k, kc.astype(stage_k.dtype), (i, dst, 0, 0))
+        stage_v = jax.lax.dynamic_update_slice(
+            stage_v, vc.astype(stage_v.dtype), (i, dst, 0, 0))
+        cattn, _ = _attn(qc, stage_k[i][None], stage_v[i][None], cmask, cfg,
+                         want_probs=False)
+        # write-through: the chunk's K/V land in the slot cache NOW (int8
+        # per (token, head) under kv_quant — the same scales the monolithic
+        # prefill produces), so no flush program ever runs
+        if quant:
+            kcq, kcs = quantize_kv(kc)
+            vcq, vcs = quantize_kv(vc)
+            new = QuantKVCache(
+                jax.lax.dynamic_update_slice(
+                    new.k_q, kcq[:, None], (i, cslot, dst, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    new.k_s, kcs[:, None], (i, cslot, dst, 0)),
+                jax.lax.dynamic_update_slice(
+                    new.v_q, vcq[:, None], (i, cslot, dst, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    new.v_s, vcs[:, None], (i, cslot, dst, 0)),
+            )
+        else:
+            new = LlamaKVCache(
+                jax.lax.dynamic_update_slice(
+                    new.k, kc.astype(new.k.dtype)[:, None],
+                    (i, cslot, dst, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    new.v, vc.astype(new.v.dtype)[:, None],
+                    (i, cslot, dst, 0, 0)),
+            )
+        # decode rows: the measured form ladder from engine._step
+        if quant:
+            k1q, k1s = quantize_kv(k1)
+            v1q, v1s = quantize_kv(v1)
+            if use_kernel:
+                appends.append((k1q, k1s, v1q, v1s))
+                attn = decode_attn_quantcache(
+                    q, kv.k_q, ksx, kv.v_q, vsx, bias,
+                    k1q, k1s, v1q, v1s,
+                    num_heads=H,
+                    sm_scale=1.0 / float(np.sqrt(hd)), layer=i,
+                )
+            elif B >= 16:
+                new = QuantKVCache(
+                    _upd_slot(new.k_q, k1q, i, cur_lens),
+                    _upd_slot(new.k_s, k1s, i, cur_lens),
+                    _upd_slot(new.v_q, v1q, i, cur_lens),
+                    _upd_slot(new.v_s, v1s, i, cur_lens),
+                )
+                attn, _ = _attn_quantcache(
+                    q, new.k_q[i], new.k_s[i], new.v_q[i], new.v_s[i],
+                    kv_mask[:, None, :], cfg, want_probs=False,
+                )
+            else:
+                new = QuantKVCache(
+                    _upd_slot(new.k_q, k1q, i, cur_lens),
+                    _upd_slot(new.k_s, k1s, i, cur_lens),
+                    _upd_slot(new.v_q, v1q, i, cur_lens),
+                    _upd_slot(new.v_s, v1s, i, cur_lens),
+                )
+                k = dequantize_kv(new.k_q[i], new.k_s[i], q.dtype)
+                v = dequantize_kv(new.v_q[i], new.v_s[i], q.dtype)
+                attn, _ = _attn(q, k, v, kv_mask[:, None, :], cfg,
+                                want_probs=False)
+        else:
+            new = LlamaKVCache(
+                _upd_slot(new.k, k1.astype(new.k.dtype), i, cur_lens),
+                _upd_slot(new.v, v1.astype(new.v.dtype), i, cur_lens),
+            )
+            attn, _ = _attn(q, new.k[i], new.v[i], kv_mask[:, None, :], cfg,
+                            want_probs=False)
+        # merged residual + MLP: one weight stream for decode + chunk rows
+        acat = jnp.concatenate([attn[:, 0], cattn[0]], axis=0)
+        xcat = jnp.concatenate([x[:, 0], x_chk], axis=0)
+        xcat = xcat + apply_linear(acat, lp["o_proj"])
+        h2 = rms_norm(xcat, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        mlp = apply_linear(
+            jax.nn.silu(apply_linear(h2, lp["gate_proj"]))
+            * apply_linear(h2, lp["up_proj"]),
+            lp["down_proj"],
+        )
+        xcat = xcat + mlp
+        x = xcat[:B][:, None, :]
+        x_chk = xcat[B:]
+    if use_kernel:
+        new = QuantKVCache(
+            _upd_slot_all(new.k_q, [a[0] for a in appends], cur_lens),
+            _upd_slot_all(new.k_s, [a[1] for a in appends], cur_lens),
+            _upd_slot_all(new.v_q, [a[2] for a in appends], cur_lens),
+            _upd_slot_all(new.v_s, [a[3] for a in appends], cur_lens),
+        )
+    xf = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    # prompt's last valid row (garbage unless this chunk completes a prompt)
+    cf = rms_norm(x_chk[lastrow][None, None], params["norm"],
+                  cfg.rms_norm_eps)
+    rows = jnp.concatenate([xf[:, 0], cf[0]], axis=0)      # (B+1, D)
+    lm_head = params.get("lm_head", params["embed_tokens"])
+    logits = rows.astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
+    return logits[:B], logits[B], new, (stage_k, stage_v)
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "k_steps", "P", "top_k", "sampling"),
+         donate_argnums=(3, 4))
+def _fused_tick(params, cfg: LlamaConfig, tokens, kv, stage, embq,
+                cur_lens, starts, keys, temps,
+                pidx, dsts, cslots, cpads, lastrows,
+                k_steps: int, P: int, top_k: int, sampling: bool):
+    """``k_steps`` fused steps in ONE dispatch. Per-step chunk descriptors
+    (all (k_steps,) arrays; inactive steps use the scratch dst and the sink
+    slot): ``pidx`` selects the prompt's row in the embedding queue,
+    ``dsts`` the chunk offset, ``cslots`` the destination cache slot,
+    ``cpads`` the prompt's left pad, ``lastrows`` the in-chunk index of the
+    prompt's final token. Always unrolled (custom-call reads at a scan
+    boundary copy the donated cache — ops/pallas_decode_attn.py).
+
+    Returns (chunk tokens (k_steps, B), first-token ids (k_steps,), kv,
+    stage, keys)."""
+    out, firsts = [], []
+    for s in range(k_steps):
+        x_chk = jax.lax.dynamic_slice(
+            embq, (pidx[s], dsts[s], 0), (1, P, embq.shape[2]))[0]
+        logits, flogits, kv, stage = _fused_step(
+            params, cfg, tokens, kv, stage, x_chk, cur_lens, starts,
+            dsts[s], cslots[s], cpads[s], lastrows[s])
+        tokens, keys = _sample_tokens(logits, keys, temps, top_k, sampling)
+        cur_lens = cur_lens + 1
+        out.append(tokens)
+        firsts.append(jnp.argmax(flogits).astype(jnp.int32))
+    return jnp.stack(out), jnp.stack(firsts), kv, stage, keys
+
+
+# ── engine ──────────────────────────────────────────────────────────────
+
+
+@dataclass
+class _Admission:
+    slot: int
+    row: int                     # embedding-queue row
+    req: Request
+    Tb: int                      # bucketed prompt length
+    pad: int                     # left pad inside the bucket
+    next_dst: int = 0            # next chunk offset
+    first_token: Optional[int] = None   # set when the last chunk's step
+    scheduled: List[int] = field(default_factory=list)
+
+
+class ChunkedPrefillEngine(ServeEngine):
+    """``ServeEngine`` whose admission prefill rides the decode ticks in
+    P-token chunks instead of running dedicated prefill programs.
+
+    Same request semantics and (for dense caches) the same greedy tokens
+    as the base engine; under ``kv_quant`` the cache contents match the
+    monolithic path exactly as well (see module docstring). LLaVA family
+    only (Qwen2-VL admission keeps the batched grouped prefill).
+
+    >>> eng = ChunkedPrefillEngine(model, slots=32, max_seq=832,
+    ...                            kv_quant=True, prefill_chunk=128)
+    """
+
+    def __init__(self, model, slots: int = 8, prefill_chunk: int = 128,
+                 stage_len: Optional[int] = None, embed_queue: int = 8,
+                 **kw):
+        # the pool carries one extra SINK slot: unconditional writes from
+        # inactive chunk descriptors land there (never read)
+        kw.pop("chunk_impl", None)
+        super().__init__(model, slots=slots + 1, chunk_impl="unroll", **kw)
+        if self.family != "llava":
+            raise NotImplementedError(
+                "chunked prefill currently serves the LLaVA family; "
+                "Qwen2-VL uses the batched grouped admission prefill")
+        self.n_real = slots
+        self.P = prefill_chunk
+        # stage_cap (= staging/write-through extent, a P-multiple) must not
+        # exceed the cache length: dynamic_update_slice CLAMPS out-of-range
+        # starts, which would shift a final chunk's cache write onto earlier
+        # prompt positions
+        stage_len = stage_len or (self.max_seq // self.P) * self.P
+        assert stage_len <= self.max_seq, (stage_len, self.max_seq)
+        self.stage_len = stage_len
+        self.stage_cap = -(-stage_len // self.P) * self.P
+        if self.stage_cap > self.max_seq:
+            raise ValueError(
+                f"ceil(stage_len/P)*P = {self.stage_cap} exceeds max_seq "
+                f"{self.max_seq}; pick stage_len/prefill_chunk so the "
+                f"chunk grid fits the cache")
+        t = self.tcfg
+        dt = self._cache_dtype()
+        sk_shape = (t.num_hidden_layers, self.stage_cap + self.P,
+                    t.kv_heads, t.head_dim)
+        self.stage = (jnp.zeros(sk_shape, dt), jnp.zeros(sk_shape, dt))
+        D = t.hidden_size
+        self.embq = jnp.zeros((embed_queue, self.stage_cap, D), dt)
+        self._free_rows = deque(range(embed_queue))
+        self._admitting: deque = deque()   # _Admission FIFO
+        # free/pending slots park cur_lens OUT OF BOUNDS so their garbage
+        # decode writes are scatter-dropped (never clamp-landed)
+        self.cur_lens[:] = self.max_seq
+        self.cur_lens[self.n_real] = self.max_seq   # sink: permanent
+
+    # the base submit()'s bucket bound applies; chunked admission further
+    # requires the bucketed prompt to fit the staging buffer
+    def submit(self, input_ids, pixel_values=None, max_new_tokens: int = 64,
+               temperature: float = 0.0) -> int:
+        ids = np.asarray(input_ids).reshape(-1)
+        Tb = -(-len(ids) // self.bucket) * self.bucket
+        if Tb > self.stage_len:
+            raise ValueError(
+                f"prompt bucket {Tb} exceeds stage_len {self.stage_len}")
+        return super().submit(input_ids, pixel_values, max_new_tokens,
+                              temperature)
+
+    def run(self) -> Dict[int, List[int]]:
+        while (self.queue or self._admitting
+               or any(s.active for s in self._slots[: self.n_real])):
+            self._start_admissions()
+            self._tick_fused()
+        return self.results
+
+    # ── internals ──────────────────────────────────────────────────────
+    def _start_admissions(self):
+        """Assign queued requests to (free slot, free embed-queue row) and
+        dispatch their embedding programs (async). Chunks are scheduled by
+        subsequent ticks."""
+        while self.queue and self._free_rows:
+            free = [b for b in range(self.n_real)
+                    if not (self._slots[b].active or self._slots[b].pending)]
+            if not free:
+                return
+            b = free[0]
+            req = self.queue.popleft()
+            row = self._free_rows.popleft()
+            Tb = min(-(-len(req.input_ids) // self.bucket) * self.bucket,
+                     self.max_seq)
+            pad = Tb - len(req.input_ids)
+            ids = np.zeros((1, Tb), np.int64)
+            ids[0, pad:] = req.input_ids
+            with_image = req.pixel_values is not None
+            pixels = (jnp.asarray(req.pixel_values, jnp.float32)[None]
+                      if with_image else jnp.zeros((1, 1, 1, 3), jnp.float32))
+            e = _embed_prompt(self.model.params, self.cfg, jnp.asarray(ids),
+                              pixels, with_image, self.stage_cap)
+            self.embq = _embq_insert(self.embq, e, row)
+            self._slots[b].pending = True
+            self._slots[b].rid = req.rid
+            self.cur_lens[b] = self.max_seq      # drop garbage decode writes
+            self.starts[b] = 0
+            self._admitting.append(_Admission(b, row, req, Tb, pad))
+
+    def _build_schedule(self):
+        """One chunk descriptor per step, FIFO and contiguous per prompt.
+        Inactive steps write to the scratch dst and the sink slot."""
+        K, P = self.steps_per_tick, self.P
+        pidx = np.zeros(K, np.int32)
+        dsts = np.full(K, self.stage_cap, np.int32)       # scratch
+        cslots = np.full(K, self.n_real, np.int32)        # sink
+        cpads = np.zeros(K, np.int32)
+        lastrows = np.zeros(K, np.int32)
+        completes: List[tuple] = []     # (step, _Admission)
+        ai = 0
+        admissions = list(self._admitting)
+        for s in range(K):
+            while ai < len(admissions) and \
+                    admissions[ai].next_dst >= admissions[ai].Tb:
+                ai += 1
+            if ai >= len(admissions):
+                break
+            a = admissions[ai]
+            pidx[s] = a.row
+            dsts[s] = a.next_dst
+            cslots[s] = a.slot
+            cpads[s] = a.pad
+            lastrows[s] = min(a.Tb - 1 - a.next_dst, P - 1)
+            a.next_dst += P
+            if a.next_dst >= a.Tb:
+                completes.append((s, a))
+        return pidx, dsts, cslots, cpads, lastrows, completes
+
+    def _tick_fused(self):
+        import time as _time
+
+        K = self.steps_per_tick
+        pidx, dsts, cslots, cpads, lastrows, completes = \
+            self._build_schedule()
+        sampling = bool((self.temps > 0).any())
+        chunk, firsts, self.kv, self.stage, keys = _fused_tick(
+            self.model.params["llama"], self.tcfg,
+            jnp.asarray(self.tokens), self.kv, self.stage, self.embq,
+            jnp.asarray(self.cur_lens), jnp.asarray(self.starts),
+            jnp.asarray(self.keys), jnp.asarray(self.temps),
+            jnp.asarray(pidx), jnp.asarray(dsts), jnp.asarray(cslots),
+            jnp.asarray(cpads), jnp.asarray(lastrows),
+            K, self.P, self.top_k, sampling,
+        )
+        self.keys = np.array(keys)
+        chunk, firsts = jax.device_get((chunk, firsts))
+        chunk = np.asarray(chunk)
+        # harvest decode rows (real slots only; the sink never activates)
+        for b in range(self.n_real):
+            slot = self._slots[b]
+            if not slot.active:
+                continue
+            finished = False
+            for j in range(K):
+                tok = int(chunk[j, b])
+                slot.generated.append(tok)
+                slot.remaining -= 1
+                if tok == self.cfg.eos_token_id or slot.remaining <= 0:
+                    finished = True
+                    break
+            self.cur_lens[b] += K
+            self.tokens[b] = int(chunk[K - 1, b])
+            if finished or self.cur_lens[b] + K >= self.max_seq:
+                self._retire(b)
+        # activate admissions whose last chunk rode this tick
+        now = _time.perf_counter()
+        for s, a in completes:
+            tok = int(firsts[s])
+            b = a.slot
+            slot = self._slots[b]
+            self.tokens[b] = tok
+            self.cur_lens[b] = a.Tb
+            self.starts[b] = a.pad
+            self.temps[b] = a.req.temperature
+            self.keys[b] = np.asarray(
+                jax.random.fold_in(self._base_key, a.req.rid), np.uint32)
+            self.request_stats[a.req.rid]["first_token"] = now
+            slot.generated = [tok]
+            slot.remaining = a.req.max_new_tokens - 1
+            slot.pending = False
+            slot.active = True
+            self._free_rows.append(a.row)
+            self._admitting.remove(a)
+            if tok == self.cfg.eos_token_id or slot.remaining <= 0:
+                self._retire(b)
+
+    def _retire(self, b: int):
+        super()._retire(b)
+        # park the freed slot's write position out of bounds (see __init__)
+        self.cur_lens[b] = self.max_seq
