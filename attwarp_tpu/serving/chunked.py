@@ -114,6 +114,41 @@ def _embq_insert(embq, e, row):
     return jax.lax.dynamic_update_slice(embq, e[None], (row, 0, 0))
 
 
+@partial(jax.jit, static_argnames=("cfg", "tcfg", "grid", "stage_cap"))
+def _embed_prompt_qwen(params, cfg, tcfg, ids, patches, pos, grid,
+                       stage_cap: int):
+    """Qwen2-VL admission embeddings + the prompt's M-RoPE cos/sin tables,
+    all padded to staging capacity: (stage_cap, D), (stage_cap, hd) × 2.
+    Computing the FULL prompt's rope tables once here lets the fused tick
+    slice (P, hd) per chunk instead of re-deriving 3-stream positions
+    in-program. Per-request admission needs no pixel-shape grouping — every
+    prompt gets its own grid (one compile per (bucket, grid))."""
+    from attwarp_tpu.models.qwen2vl import (
+        embed_and_splice as qwen_splice,
+        mrope_cos_sin,
+        qwen2vl_vision_features,
+    )
+
+    if grid is not None:
+        feats = qwen2vl_vision_features(
+            params["vision"], cfg.vision, patches[0], (grid[1], grid[2])
+        )[None]
+        embeds = qwen_splice(params, cfg, ids, feats)
+    else:
+        embeds = params["text"]["embed_tokens"][jnp.clip(ids, 0, None)]
+    cos, sin = mrope_cos_sin(pos, tcfg)            # (1, Tb, hd)
+    pad = ((0, stage_cap - embeds.shape[1]), (0, 0))
+    return (jnp.pad(embeds[0], pad), jnp.pad(cos[0], pad),
+            jnp.pad(sin[0], pad))
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _embq_insert_qwen(embq, cosq, sinq, e, c, s, row):
+    return (jax.lax.dynamic_update_slice(embq, e[None], (row, 0, 0)),
+            jax.lax.dynamic_update_slice(cosq, c[None], (row, 0, 0)),
+            jax.lax.dynamic_update_slice(sinq, s[None], (row, 0, 0)))
+
+
 def _fused_step(params, cfg: LlamaConfig, tokens, kv, stage, x_chk,
                 cur_lens, starts, dst, cslot, cpad, lastrow):
     """ONE decode step for every slot + ONE P-token prefill chunk, sharing
@@ -302,6 +337,171 @@ def _fused_tick(params, cfg: LlamaConfig, tokens, kv, stage, embq,
     return jnp.stack(out), jnp.stack(firsts), kv, stage, keys
 
 
+def _fused_step_qwen(params, cfg, tokens, kv, stage, x_chk, ccos, csin,
+                     cur_lens, starts, deltas, dst, cslot, cpad, lastrow):
+    """Qwen2-VL fused step: same co-scheduling as ``_fused_step`` with the
+    family's differences — M-RoPE (decode rows re-derive the shared-stream
+    position ``cur_len - start + delta``; chunk rows consume the prompt's
+    precomputed cos/sin slice), qkv biases, and the tuple dense cache."""
+    from attwarp_tpu.models.qwen2vl import (
+        _apply_rope,
+        _attn as _qattn,
+        mrope_cos_sin,
+    )
+
+    B = tokens.shape[0]
+    P = x_chk.shape[0]
+    quant = isinstance(kv, QuantKVCache)
+    S = (kv.k_q if quant else kv[0]).shape[2]
+    stage_k, stage_v = stage
+    SK = stage_k.shape[1]
+    H, kvH, hd = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
+
+    emb = params["text"]["embed_tokens"][tokens][:, None, :]
+    p = (cur_lens - starts + deltas).astype(jnp.int32)
+    pos3 = jnp.broadcast_to(p[None, :, None], (3, B, 1))
+    cos, sin = mrope_cos_sin(pos3, cfg)
+    g = dst + jnp.arange(P)
+    ar = jnp.arange(S)[None, :]
+    kv_mask = (ar >= starts[:, None]) & (ar <= cur_lens[:, None])
+    mk = jnp.arange(SK)[None, None, :]
+    cmask = (mk >= cpad) & (mk <= g[None, :, None])
+
+    x = emb
+    x_c = x_chk
+    new = kv
+    use_kernel = quant and decode_attn_supported(S, kvH, hd, B)
+    if use_kernel:
+        strict = (ar >= starts[:, None]) & (ar < cur_lens[:, None])
+        ksx, vsx, bias = prepare_decode_attn_operands(kv.k_s, kv.v_s, strict)
+        appends = []
+    for i, lp in enumerate(params["text"]["layers"]):
+        h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+        hc = rms_norm(x_c, lp["input_layernorm"], cfg.rms_norm_eps)
+        hcat = jnp.concatenate([h[:, 0], hc], axis=0)[:, None, :]  # (B+P,1,D)
+        qa = apply_linear(hcat[:, 0], lp["q_proj"])
+        ka = apply_linear(hcat[:, 0], lp["k_proj"])
+        va = apply_linear(hcat[:, 0], lp["v_proj"])
+        q = qa[:B].reshape(B, 1, H, hd)
+        k1 = ka[:B].reshape(B, 1, kvH, hd)
+        v1 = va[:B].reshape(B, 1, kvH, hd)
+        qc = qa[B:].reshape(1, P, H, hd)
+        kc = ka[B:].reshape(1, P, kvH, hd)
+        vc = va[B:].reshape(1, P, kvH, hd)
+        q, k1 = _apply_rope(q, k1, cos, sin)
+        qc, kc = _apply_rope(qc, kc, ccos[None], csin[None])
+        stage_k = jax.lax.dynamic_update_slice(
+            stage_k, kc.astype(stage_k.dtype), (i, dst, 0, 0))
+        stage_v = jax.lax.dynamic_update_slice(
+            stage_v, vc.astype(stage_v.dtype), (i, dst, 0, 0))
+        cattn, _ = _qattn(qc, stage_k[i][None], stage_v[i][None], cmask, cfg,
+                          want_probs=False)
+        if quant:
+            kcq, kcs = quantize_kv(kc)
+            vcq, vcs = quantize_kv(vc)
+            new = QuantKVCache(
+                jax.lax.dynamic_update_slice(
+                    new.k_q, kcq[:, None], (i, cslot, dst, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    new.k_s, kcs[:, None], (i, cslot, dst, 0)),
+                jax.lax.dynamic_update_slice(
+                    new.v_q, vcq[:, None], (i, cslot, dst, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    new.v_s, vcs[:, None], (i, cslot, dst, 0)),
+            )
+            k1q, k1s = quantize_kv(k1)
+            v1q, v1s = quantize_kv(v1)
+            if use_kernel:
+                appends.append((k1q, k1s, v1q, v1s))
+                attn = decode_attn_quantcache(
+                    q, kv.k_q, ksx, kv.v_q, vsx, bias,
+                    k1q, k1s, v1q, v1s,
+                    num_heads=H,
+                    sm_scale=1.0 / float(np.sqrt(hd)), layer=i,
+                )
+            else:
+                new = QuantKVCache(
+                    _upd_slot(new.k_q, k1q, i, cur_lens),
+                    _upd_slot(new.k_s, k1s, i, cur_lens),
+                    _upd_slot(new.v_q, v1q, i, cur_lens),
+                    _upd_slot(new.v_s, v1s, i, cur_lens),
+                )
+                k = dequantize_kv(new.k_q[i], new.k_s[i], q.dtype)
+                v = dequantize_kv(new.v_q[i], new.v_s[i], q.dtype)
+                attn, _ = _qattn(q, k, v, kv_mask[:, None, :], cfg,
+                                 want_probs=False)
+        else:
+            new = (
+                jax.lax.dynamic_update_slice(
+                    new[0], kc.astype(new[0].dtype)[:, None],
+                    (i, cslot, dst, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    new[1], vc.astype(new[1].dtype)[:, None],
+                    (i, cslot, dst, 0, 0)),
+            )
+            new = (
+                _upd_slot(new[0], k1.astype(new[0].dtype), i, cur_lens),
+                _upd_slot(new[1], v1.astype(new[1].dtype), i, cur_lens),
+            )
+            attn, _ = _qattn(q, new[0][i], new[1][i], kv_mask[:, None, :],
+                             cfg, want_probs=False)
+        acat = jnp.concatenate([attn[:, 0], cattn[0]], axis=0)
+        xcat = jnp.concatenate([x[:, 0], x_c], axis=0)
+        xcat = xcat + apply_linear(acat, lp["o_proj"])
+        h2 = rms_norm(xcat, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        xcat = xcat + apply_linear(
+            jax.nn.silu(apply_linear(h2, lp["gate_proj"]))
+            * apply_linear(h2, lp["up_proj"]),
+            lp["down_proj"],
+        )
+        x = xcat[:B][:, None, :]
+        x_c = xcat[B:]
+    if use_kernel:
+        new = QuantKVCache(
+            _upd_slot_all(new.k_q, [a[0] for a in appends], cur_lens),
+            _upd_slot_all(new.k_s, [a[1] for a in appends], cur_lens),
+            _upd_slot_all(new.v_q, [a[2] for a in appends], cur_lens),
+            _upd_slot_all(new.v_s, [a[3] for a in appends], cur_lens),
+        )
+    xf = rms_norm(x, params["text"]["norm"], cfg.rms_norm_eps)
+    cf = rms_norm(x_c[lastrow][None, None], params["text"]["norm"],
+                  cfg.rms_norm_eps)
+    rows = jnp.concatenate([xf[:, 0], cf[0]], axis=0)
+    lm_head = params["text"].get("lm_head", params["text"]["embed_tokens"])
+    logits = rows.astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
+    return logits[:B], logits[B], new, (stage_k, stage_v)
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "k_steps", "P", "top_k", "sampling"),
+         donate_argnums=(3, 4))
+def _fused_tick_qwen(params, cfg, tokens, kv, stage, embq, cosq, sinq,
+                     cur_lens, starts, deltas, keys, temps,
+                     pidx, dsts, cslots, cpads, lastrows,
+                     k_steps: int, P: int, top_k: int, sampling: bool):
+    """Qwen2-VL counterpart of ``_fused_tick`` (chunk rope slices come from
+    the admission-time ``cosq``/``sinq`` queues)."""
+    out, firsts = [], []
+    D = embq.shape[2]
+    hd = cosq.shape[2]
+    for s in range(k_steps):
+        x_chk = jax.lax.dynamic_slice(embq, (pidx[s], dsts[s], 0),
+                                      (1, P, D))[0]
+        ccos = jax.lax.dynamic_slice(cosq, (pidx[s], dsts[s], 0),
+                                     (1, P, hd))[0]
+        csin = jax.lax.dynamic_slice(sinq, (pidx[s], dsts[s], 0),
+                                     (1, P, hd))[0]
+        logits, flogits, kv, stage = _fused_step_qwen(
+            params, cfg, tokens, kv, stage, x_chk, ccos, csin,
+            cur_lens, starts, deltas, dsts[s], cslots[s], cpads[s],
+            lastrows[s])
+        tokens, keys = _sample_tokens(logits, keys, temps, top_k, sampling)
+        cur_lens = cur_lens + 1
+        out.append(tokens)
+        firsts.append(jnp.argmax(flogits).astype(jnp.int32))
+    return jnp.stack(out), jnp.stack(firsts), kv, stage, keys
+
+
 # ── engine ──────────────────────────────────────────────────────────────
 
 
@@ -313,6 +513,7 @@ class _Admission:
     Tb: int                      # bucketed prompt length
     pad: int                     # left pad inside the bucket
     next_dst: int = 0            # next chunk offset
+    delta: int = 0               # qwen M-RoPE decode delta (re-based)
     first_token: Optional[int] = None   # set when the last chunk's step
     scheduled: List[int] = field(default_factory=list)
 
@@ -323,8 +524,12 @@ class ChunkedPrefillEngine(ServeEngine):
 
     Same request semantics and (for dense caches) the same greedy tokens
     as the base engine; under ``kv_quant`` the cache contents match the
-    monolithic path exactly as well (see module docstring). LLaVA family
-    only (Qwen2-VL admission keeps the batched grouped prefill).
+    monolithic path exactly as well (see module docstring). Both model
+    families serve: Qwen2-VL's M-RoPE tables are computed once per
+    admission and sliced per chunk, and per-request admission needs no
+    pixel-shape grouping at all (each prompt's vision grid compiles its
+    own embed program, exactly like the base engine's per-(bucket, shape)
+    groups).
 
     >>> eng = ChunkedPrefillEngine(model, slots=32, max_seq=832,
     ...                            kv_quant=True, prefill_chunk=128)
@@ -337,10 +542,6 @@ class ChunkedPrefillEngine(ServeEngine):
         # inactive chunk descriptors land there (never read)
         kw.pop("chunk_impl", None)
         super().__init__(model, slots=slots + 1, chunk_impl="unroll", **kw)
-        if self.family != "llava":
-            raise NotImplementedError(
-                "chunked prefill currently serves the LLaVA family; "
-                "Qwen2-VL uses the batched grouped admission prefill")
         self.n_real = slots
         self.P = prefill_chunk
         # stage_cap (= staging/write-through extent, a P-multiple) must not
@@ -363,6 +564,11 @@ class ChunkedPrefillEngine(ServeEngine):
         self.stage = (jnp.zeros(sk_shape, dt), jnp.zeros(sk_shape, dt))
         D = t.hidden_size
         self.embq = jnp.zeros((embed_queue, self.stage_cap, D), dt)
+        if self.family == "qwen2vl":
+            # admission-time M-RoPE cos/sin tables, sliced per chunk
+            self.cosq = jnp.zeros((embed_queue, self.stage_cap, t.head_dim),
+                                  dt)
+            self.sinq = jnp.zeros_like(self.cosq)
         self._free_rows = deque(range(embed_queue))
         self._admitting: deque = deque()   # _Admission FIFO
         # free/pending slots park cur_lens OUT OF BOUNDS so their garbage
@@ -408,16 +614,47 @@ class ChunkedPrefillEngine(ServeEngine):
             ids = np.zeros((1, Tb), np.int64)
             ids[0, pad:] = req.input_ids
             with_image = req.pixel_values is not None
-            pixels = (jnp.asarray(req.pixel_values, jnp.float32)[None]
-                      if with_image else jnp.zeros((1, 1, 1, 3), jnp.float32))
-            e = _embed_prompt(self.model.params, self.cfg, jnp.asarray(ids),
-                              pixels, with_image, self.stage_cap)
-            self.embq = _embq_insert(self.embq, e, row)
+            adm = _Admission(b, row, req, Tb, pad)
+            if self.family == "qwen2vl":
+                from attwarp_tpu.models.qwen2vl import (
+                    get_mrope_positions,
+                    patchify_image,
+                )
+
+                if with_image:
+                    pats, grid = patchify_image(req.pixel_values,
+                                                self.cfg.vision)
+                    patches = jnp.asarray(pats[None])
+                else:
+                    patches, grid = jnp.zeros((1, 4, 8), jnp.float32), None
+                mask = np.zeros((1, Tb), np.int64)
+                mask[0, pad:] = 1
+                pos, deltas = get_mrope_positions(
+                    ids, mask, grid or (1, 2, 2),
+                    self.cfg.image_token_id,
+                    self.cfg.vision.spatial_merge_size,
+                )
+                # decode positions re-base the delta to VALID length
+                adm.delta = int(deltas[0]) + pad
+                e, c, s = _embed_prompt_qwen(
+                    self.model.params, self.cfg, self.tcfg,
+                    jnp.asarray(ids), patches, jnp.asarray(pos), grid,
+                    self.stage_cap)
+                self.embq, self.cosq, self.sinq = _embq_insert_qwen(
+                    self.embq, self.cosq, self.sinq, e, c, s, row)
+            else:
+                pixels = (jnp.asarray(req.pixel_values, jnp.float32)[None]
+                          if with_image
+                          else jnp.zeros((1, 1, 1, 3), jnp.float32))
+                e = _embed_prompt(self.model.params, self.cfg,
+                                  jnp.asarray(ids), pixels, with_image,
+                                  self.stage_cap)
+                self.embq = _embq_insert(self.embq, e, row)
             self._slots[b].pending = True
             self._slots[b].rid = req.rid
             self.cur_lens[b] = self.max_seq      # drop garbage decode writes
             self.starts[b] = 0
-            self._admitting.append(_Admission(b, row, req, Tb, pad))
+            self._admitting.append(adm)
 
     def _build_schedule(self):
         """One chunk descriptor per step, FIFO and contiguous per prompt.
@@ -455,15 +692,28 @@ class ChunkedPrefillEngine(ServeEngine):
         pidx, dsts, cslots, cpads, lastrows, completes = \
             self._build_schedule()
         sampling = bool((self.temps > 0).any())
-        chunk, firsts, self.kv, self.stage, keys = _fused_tick(
-            self.model.params["llama"], self.tcfg,
-            jnp.asarray(self.tokens), self.kv, self.stage, self.embq,
-            jnp.asarray(self.cur_lens), jnp.asarray(self.starts),
-            jnp.asarray(self.keys), jnp.asarray(self.temps),
-            jnp.asarray(pidx), jnp.asarray(dsts), jnp.asarray(cslots),
-            jnp.asarray(cpads), jnp.asarray(lastrows),
-            K, self.P, self.top_k, sampling,
-        )
+        if self.family == "qwen2vl":
+            chunk, firsts, self.kv, self.stage, keys = _fused_tick_qwen(
+                self.model.params, self.tcfg,
+                jnp.asarray(self.tokens), self.kv, self.stage, self.embq,
+                self.cosq, self.sinq,
+                jnp.asarray(self.cur_lens), jnp.asarray(self.starts),
+                jnp.asarray(self.deltas),
+                jnp.asarray(self.keys), jnp.asarray(self.temps),
+                jnp.asarray(pidx), jnp.asarray(dsts), jnp.asarray(cslots),
+                jnp.asarray(cpads), jnp.asarray(lastrows),
+                K, self.P, self.top_k, sampling,
+            )
+        else:
+            chunk, firsts, self.kv, self.stage, keys = _fused_tick(
+                self.model.params["llama"], self.tcfg,
+                jnp.asarray(self.tokens), self.kv, self.stage, self.embq,
+                jnp.asarray(self.cur_lens), jnp.asarray(self.starts),
+                jnp.asarray(self.keys), jnp.asarray(self.temps),
+                jnp.asarray(pidx), jnp.asarray(dsts), jnp.asarray(cslots),
+                jnp.asarray(cpads), jnp.asarray(lastrows),
+                K, self.P, self.top_k, sampling,
+            )
         self.keys = np.array(keys)
         chunk, firsts = jax.device_get((chunk, firsts))
         chunk = np.asarray(chunk)
@@ -493,6 +743,7 @@ class ChunkedPrefillEngine(ServeEngine):
             self.tokens[b] = tok
             self.cur_lens[b] = a.Tb
             self.starts[b] = a.pad
+            self.deltas[b] = a.delta
             self.temps[b] = a.req.temperature
             self.keys[b] = np.asarray(
                 jax.random.fold_in(self._base_key, a.req.rid), np.uint32)

@@ -153,3 +153,77 @@ def test_chunked_requires_fitting_chunk_grid(model):
     with pytest.raises(ValueError, match="chunk grid"):
         ChunkedPrefillEngine(model, slots=2, max_seq=100, bucket=16,
                              prefill_chunk=48, stage_len=100)
+
+
+@pytest.fixture(scope="module")
+def qwen_model():
+    from transformers import (
+        Qwen2VLConfig as HFQwen2VLConfig,
+        Qwen2VLForConditionalGeneration,
+    )
+
+    from attwarp_tpu.extract.qwen2vl_backend import Qwen2VLBackend
+    from attwarp_tpu.models.qwen2vl import Qwen2VLModel, port_hf_qwen2vl_weights
+
+    torch.manual_seed(0)
+    hf = Qwen2VLForConditionalGeneration(
+        HFQwen2VLConfig(
+            text_config=dict(
+                vocab_size=128, hidden_size=48, intermediate_size=96,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2, rope_theta=10000.0,
+                rope_scaling={"type": "mrope", "mrope_section": [2, 2, 2]},
+                max_position_embeddings=512,
+            ),
+            vision_config=dict(
+                depth=2, embed_dim=32, hidden_size=48, num_heads=2,
+                patch_size=14, spatial_merge_size=2, temporal_patch_size=2,
+                mlp_ratio=2, hidden_act="quick_gelu",
+            ),
+            image_token_id=97, video_token_id=98, vision_start_token_id=96,
+        )
+    ).eval()
+    cfg = Qwen2VLBackend.config_from_hf(hf.config)
+    return Qwen2VLModel(cfg, port_hf_qwen2vl_weights(hf.state_dict(), cfg))
+
+
+@pytest.mark.parametrize("kv_quant", [False, True])
+def test_chunked_qwen_matches_per_request_generate(qwen_model, rng, kv_quant):
+    """Second family: chunked admission (per-chunk M-RoPE slices, per-slot
+    decode deltas) matches per-request generate — including MIXED image
+    shapes in one stream, which the chunked path serves without any
+    pixel-shape grouping."""
+    from attwarp_tpu.models.qwen2vl import patchify_image
+
+    m = qwen_model
+    eng = ChunkedPrefillEngine(m, slots=2, max_seq=96, bucket=16,
+                               kv_quant=kv_quant, steps_per_tick=4,
+                               prefill_chunk=8, stage_len=48)
+    reqs = []
+    for T, side in ((12, 56), (15, 84), (10, 56), (11, None), (17, 84)):
+        ids = rng.integers(3, 90, size=(T,)).astype(np.int64)
+        img = None
+        if side is not None:
+            n_tok = (side // 14 // 2) ** 2
+            ids[1] = 96
+            ids[2:2 + n_tok] = 97
+            img = rng.standard_normal((side, side, 3)).astype(np.float32)
+        rid = eng.submit(ids, img, max_new_tokens=4)
+        reqs.append((rid, ids, img))
+    out = eng.run()
+    assert set(out) == {r[0] for r in reqs}
+    for rid, ids, img in reqs:
+        patches, grid = patchify_image(
+            img if img is not None
+            else np.zeros((28, 28, 3), np.float32), m.cfg.vision)
+        gen, _ = m.generate_with_attention(
+            ids[None], patches, grid, np.ones((1, len(ids)), np.int64),
+            extract_layer=None, max_new_tokens=4,
+        )
+        ref = [int(t) for t in np.asarray(gen)[0]]
+        if m.cfg.eos_token_id in ref:
+            ref = ref[: ref.index(m.cfg.eos_token_id) + 1]
+        if kv_quant:
+            assert out[rid][0] == ref[0], (rid, out[rid], ref)
+        else:
+            assert out[rid] == ref, (rid, out[rid], ref)
