@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="truncate sampling to the k most likely tokens")
     p.add_argument("--seed", type=int, default=0,
                    help="sampling seed (per-request keys derive from it)")
+    p.add_argument("--chunked-prefill", type=int, default=0, metavar="P",
+                   help="admit prompts in P-token chunks riding the decode "
+                        "ticks (ChunkedPrefillEngine) instead of dedicated "
+                        "prefill programs; 0 = monolithic admission")
     p.add_argument("--limit", type=int, default=None)
     return p
 
@@ -57,18 +61,22 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     enable_compile_cache()
 
     from attwarp_tpu.cli.process_dataset import make_backend
-    from attwarp_tpu.serving import ServeEngine
+    from attwarp_tpu.serving import ChunkedPrefillEngine, ServeEngine
 
     backend = make_backend(args.backend, layer_index=0)
     if not hasattr(backend, "build_ids"):
         raise SystemExit(f"backend {args.backend!r} has no serving path")
     kv_quant = bool(getattr(backend, "kv_quant", False))
-    engine = ServeEngine(
-        backend.model, slots=args.slots, max_seq=args.max_seq,
-        kv_quant=kv_quant, steps_per_tick=args.steps_per_tick,
-        top_k=args.top_k, seed=args.seed,
-        use_flash=bool(getattr(backend, "use_flash", False)),
-    )
+    kw = dict(slots=args.slots, max_seq=args.max_seq, kv_quant=kv_quant,
+              steps_per_tick=args.steps_per_tick, top_k=args.top_k,
+              seed=args.seed)
+    if args.chunked_prefill:
+        engine = ChunkedPrefillEngine(
+            backend.model, prefill_chunk=args.chunked_prefill, **kw)
+    else:
+        engine = ServeEngine(
+            backend.model,
+            use_flash=bool(getattr(backend, "use_flash", False)), **kw)
 
     requests = []
     with open(args.jsonl) as f:

@@ -155,6 +155,39 @@ def test_chunked_requires_fitting_chunk_grid(model):
                              prefill_chunk=48, stage_len=100)
 
 
+def test_serve_cli_chunked_prefill(model, rng, tmp_path):
+    """cli.serve --chunked-prefill P routes through ChunkedPrefillEngine."""
+    import json
+
+    from PIL import Image
+
+    from attwarp_tpu.extract.llava_backend import LlavaBackend
+    from attwarp_tpu.cli.serve import main as serve_main
+
+    be = LlavaBackend(model)
+    be.save(tmp_path / "ckpt")
+    img = tmp_path / "im.png"
+    Image.fromarray((rng.random((40, 48, 3)) * 255).astype(np.uint8)).save(img)
+    ids1 = rng.integers(3, 90, size=(12,)).tolist()
+    ids1[2:6] = [IMG_TOKEN] * 4
+    reqs = tmp_path / "reqs.jsonl"
+    with open(reqs, "w") as f:
+        f.write(json.dumps({"image_path": str(img), "input_ids": ids1}) + "\n")
+        f.write(json.dumps(
+            {"input_ids": rng.integers(3, 90, size=(9,)).tolist()}) + "\n")
+    out = tmp_path / "answers.jsonl"
+    rc = serve_main([
+        "--backend", f"llava-ckpt:{tmp_path / 'ckpt'}",
+        "--jsonl", str(reqs), "--output", str(out),
+        "--slots", "2", "--max-seq", "768", "--max-new-tokens", "4",
+        "--steps-per-tick", "2", "--chunked-prefill", "16",
+    ])
+    assert rc == 0
+    rows = [json.loads(l) for l in open(out)]
+    assert len(rows) == 2
+    assert all(1 <= len(r["tokens"]) <= 4 for r in rows)
+
+
 @pytest.fixture(scope="module")
 def qwen_model():
     from transformers import (
