@@ -22,11 +22,16 @@ Numerics are IDENTICAL to the monolithic admission path:
   prompt's exact K/V so far (never the quantized cache) — the softmax row
   for prompt position g sees exactly the keys [0, g], same operands as
   the one-shot prefill;
-- each chunk's K/V is **written through** to the slot cache as it is
-  computed (quantized per (token, head) when ``kv_quant`` — the same
-  scales the monolithic prefill would produce, since scales never cross
-  tokens), so when the last chunk lands the slot cache holds bit-identical
-  contents and decode proceeds as if `_prefill` + insert had run;
+- each chunk's K/V is **written through** to the slot cache (quantized per
+  (token, head) when ``kv_quant`` — the same scales the monolithic prefill
+  would produce, since scales never cross tokens), in ONE batched
+  all-layers write AFTER the layer loop's last kernel read (a per-layer
+  write interleaved with the kernel's custom-call reads defeats the
+  cache's in-place update chain — measured ~4× step cost; the deferral is
+  invisible because a mid-admission slot's decode rows never read its own
+  fresh chunk rows), so when the last chunk lands the slot cache holds
+  bit-identical contents and decode proceeds as if `_prefill` + insert
+  had run;
 - the first generated token is the argmax over the prompt's last valid
   row, like `_prefill`.
 
@@ -149,6 +154,33 @@ def _embq_insert_qwen(embq, cosq, sinq, e, c, s, row):
             jax.lax.dynamic_update_slice(sinq, s[None], (row, 0, 0)))
 
 
+def _chunk_write_quant(new: QuantKVCache, cappend, cslot, dst):
+    """All L layers' chunk K/V land in the slot cache in ONE batched
+    dynamic_update_slice chain AFTER the loop's last kernel read of the
+    step-entry cache. A per-layer write interleaved with the kernel's
+    custom-call reads defeats the cache's in-place update chain
+    (ops/pallas_decode_attn.py design rule 2) — measured ~4× step cost."""
+    ck = jnp.concatenate([a[0] for a in cappend])[:, None]
+    cks = jnp.concatenate([a[1] for a in cappend])[:, None]
+    cv = jnp.concatenate([a[2] for a in cappend])[:, None]
+    cvs = jnp.concatenate([a[3] for a in cappend])[:, None]
+    return QuantKVCache(
+        jax.lax.dynamic_update_slice(new.k_q, ck, (0, cslot, dst, 0, 0)),
+        jax.lax.dynamic_update_slice(new.k_s, cks, (0, cslot, dst, 0)),
+        jax.lax.dynamic_update_slice(new.v_q, cv, (0, cslot, dst, 0, 0)),
+        jax.lax.dynamic_update_slice(new.v_s, cvs, (0, cslot, dst, 0)),
+    )
+
+
+def _chunk_write_dense(k, v, cappend, cslot, dst):
+    """Dense-cache counterpart of `_chunk_write_quant` (returns the two
+    updated arrays; callers rewrap in their family's container)."""
+    ck = jnp.concatenate([a[0] for a in cappend]).astype(k.dtype)[:, None]
+    cv = jnp.concatenate([a[1] for a in cappend]).astype(v.dtype)[:, None]
+    return (jax.lax.dynamic_update_slice(k, ck, (0, cslot, dst, 0, 0)),
+            jax.lax.dynamic_update_slice(v, cv, (0, cslot, dst, 0, 0)))
+
+
 def _fused_step(params, cfg: LlamaConfig, tokens, kv, stage, x_chk,
                 cur_lens, starts, dst, cslot, cpad, lastrow):
     """ONE decode step for every slot + ONE P-token prefill chunk, sharing
@@ -183,6 +215,7 @@ def _fused_step(params, cfg: LlamaConfig, tokens, kv, stage, x_chk,
 
     x = emb
     new = kv
+    cappend = []
     use_kernel = quant and decode_attn_supported(S, kvH, hd, B)
     if use_kernel:
         strict = (ar >= starts[:, None]) & (ar < cur_lens[:, None])
@@ -210,31 +243,16 @@ def _fused_step(params, cfg: LlamaConfig, tokens, kv, stage, x_chk,
             stage_v, vc.astype(stage_v.dtype), (i, dst, 0, 0))
         cattn, _ = _attn(qc, stage_k[i][None], stage_v[i][None], cmask, cfg,
                          want_probs=False)
-        # write-through: the chunk's K/V land in the slot cache NOW (int8
-        # per (token, head) under kv_quant — the same scales the monolithic
-        # prefill produces), so no flush program ever runs
+        # write-through: the chunk's K/V land in the slot cache (int8 per
+        # (token, head) under kv_quant — the same scales the monolithic
+        # prefill produces), DEFERRED to one batched write after the last
+        # stale kernel read — a per-layer DUS interleaved with the kernel's
+        # step-entry reads defeats the cache's in-place update chain
+        # (ops/pallas_decode_attn.py design rule 2; measured 4x step cost)
         if quant:
-            kcq, kcs = quantize_kv(kc)
-            vcq, vcs = quantize_kv(vc)
-            new = QuantKVCache(
-                jax.lax.dynamic_update_slice(
-                    new.k_q, kcq[:, None], (i, cslot, dst, 0, 0)),
-                jax.lax.dynamic_update_slice(
-                    new.k_s, kcs[:, None], (i, cslot, dst, 0)),
-                jax.lax.dynamic_update_slice(
-                    new.v_q, vcq[:, None], (i, cslot, dst, 0, 0)),
-                jax.lax.dynamic_update_slice(
-                    new.v_s, vcs[:, None], (i, cslot, dst, 0)),
-            )
+            cappend.append((*quantize_kv(kc), *quantize_kv(vc)))
         else:
-            new = LlamaKVCache(
-                jax.lax.dynamic_update_slice(
-                    new.k, kc.astype(new.k.dtype)[:, None],
-                    (i, cslot, dst, 0, 0)),
-                jax.lax.dynamic_update_slice(
-                    new.v, vc.astype(new.v.dtype)[:, None],
-                    (i, cslot, dst, 0, 0)),
-            )
+            cappend.append((kc, vc))
         # decode rows: the measured form ladder from engine._step
         if quant:
             k1q, k1s = quantize_kv(k1)
@@ -296,6 +314,11 @@ def _fused_step(params, cfg: LlamaConfig, tokens, kv, stage, x_chk,
             _upd_slot_all(new.v_q, [a[2] for a in appends], cur_lens),
             _upd_slot_all(new.v_s, [a[3] for a in appends], cur_lens),
         )
+    if quant:
+        new = _chunk_write_quant(new, cappend, cslot, dst)
+    else:
+        ck, cv = _chunk_write_dense(new.k, new.v, cappend, cslot, dst)
+        new = LlamaKVCache(ck, cv)
     xf = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     # prompt's last valid row (garbage unless this chunk completes a prompt)
     cf = rms_norm(x_chk[lastrow][None, None], params["norm"],
@@ -370,6 +393,7 @@ def _fused_step_qwen(params, cfg, tokens, kv, stage, x_chk, ccos, csin,
     x = emb
     x_c = x_chk
     new = kv
+    cappend = []
     use_kernel = quant and decode_attn_supported(S, kvH, hd, B)
     if use_kernel:
         strict = (ar >= starts[:, None]) & (ar < cur_lens[:, None])
@@ -396,19 +420,10 @@ def _fused_step_qwen(params, cfg, tokens, kv, stage, x_chk, ccos, csin,
             stage_v, vc.astype(stage_v.dtype), (i, dst, 0, 0))
         cattn, _ = _qattn(qc, stage_k[i][None], stage_v[i][None], cmask, cfg,
                           want_probs=False)
+        # chunk write-through deferred to one batched post-loop write
+        # (see _chunk_write_quant)
         if quant:
-            kcq, kcs = quantize_kv(kc)
-            vcq, vcs = quantize_kv(vc)
-            new = QuantKVCache(
-                jax.lax.dynamic_update_slice(
-                    new.k_q, kcq[:, None], (i, cslot, dst, 0, 0)),
-                jax.lax.dynamic_update_slice(
-                    new.k_s, kcs[:, None], (i, cslot, dst, 0)),
-                jax.lax.dynamic_update_slice(
-                    new.v_q, vcq[:, None], (i, cslot, dst, 0, 0)),
-                jax.lax.dynamic_update_slice(
-                    new.v_s, vcs[:, None], (i, cslot, dst, 0)),
-            )
+            cappend.append((*quantize_kv(kc), *quantize_kv(vc)))
             k1q, k1s = quantize_kv(k1)
             v1q, v1s = quantize_kv(v1)
             if use_kernel:
@@ -431,18 +446,15 @@ def _fused_step_qwen(params, cfg, tokens, kv, stage, x_chk, ccos, csin,
                 attn, _ = _qattn(q, k, v, kv_mask[:, None, :], cfg,
                                  want_probs=False)
         else:
-            new = (
-                jax.lax.dynamic_update_slice(
-                    new[0], kc.astype(new[0].dtype)[:, None],
-                    (i, cslot, dst, 0, 0)),
-                jax.lax.dynamic_update_slice(
-                    new[1], vc.astype(new[1].dtype)[:, None],
-                    (i, cslot, dst, 0, 0)),
-            )
+            cappend.append((kc, vc))
             new = (
                 _upd_slot(new[0], k1.astype(new[0].dtype), i, cur_lens),
                 _upd_slot(new[1], v1.astype(new[1].dtype), i, cur_lens),
             )
+            # the decode rows' attention reads the chunk's OWN slot rows
+            # only if cslot is active — impossible mid-admission (the slot
+            # activates after its last chunk), so the deferred write is
+            # invisible to this read
             attn, _ = _qattn(q, new[0][i], new[1][i], kv_mask[:, None, :],
                              cfg, want_probs=False)
         acat = jnp.concatenate([attn[:, 0], cattn[0]], axis=0)
@@ -463,6 +475,10 @@ def _fused_step_qwen(params, cfg, tokens, kv, stage, x_chk, ccos, csin,
             _upd_slot_all(new.v_q, [a[2] for a in appends], cur_lens),
             _upd_slot_all(new.v_s, [a[3] for a in appends], cur_lens),
         )
+    if quant:
+        new = _chunk_write_quant(new, cappend, cslot, dst)
+    else:
+        new = _chunk_write_dense(new[0], new[1], cappend, cslot, dst)
     xf = rms_norm(x, params["text"]["norm"], cfg.rms_norm_eps)
     cf = rms_norm(x_c[lastrow][None, None], params["text"]["norm"],
                   cfg.rms_norm_eps)
