@@ -154,6 +154,33 @@ def _embq_insert_qwen(embq, cosq, sinq, e, c, s, row):
             jax.lax.dynamic_update_slice(sinq, s[None], (row, 0, 0)))
 
 
+def _chunk_mask(SK: int, P: int, dst, cpad):
+    """(1, P, SK+P) mask for the [staging history | fresh chunk] attention:
+    history keys are the prompt's rows [cpad, dst) already staged by earlier
+    chunks; self keys are causal within the chunk, excluding left-pad rows
+    (global key index dst+j' must be >= cpad). Together these cover exactly
+    the monolithic prefill's row [cpad, g] for query g = dst + j."""
+    mk = jnp.arange(SK)[None, None, :]
+    hist = jnp.broadcast_to((mk >= cpad) & (mk < dst), (1, P, SK))
+    jj = jnp.arange(P)
+    self_m = (jj[None, :, None] >= jj[None, None, :]) & \
+        ((dst + jj)[None, None, :] >= cpad)
+    return jnp.concatenate([hist, jnp.broadcast_to(self_m, (1, P, P))], 2)
+
+
+def _stage_write(stage_k, stage_v, sappend, dst):
+    """All L layers' fresh chunk K/V land in the staging buffer in ONE
+    batched write after the layer loop (same rationale as
+    `_chunk_write_quant` — staging is ~0.5 GiB at 7B and a per-layer DUS
+    interleaved with the kernel's custom calls copies it every layer)."""
+    sk = jnp.concatenate([a[0] for a in sappend])
+    sv = jnp.concatenate([a[1] for a in sappend])
+    return (jax.lax.dynamic_update_slice(
+                stage_k, sk.astype(stage_k.dtype), (0, dst, 0, 0)),
+            jax.lax.dynamic_update_slice(
+                stage_v, sv.astype(stage_v.dtype), (0, dst, 0, 0)))
+
+
 def _chunk_write_quant(new: QuantKVCache, cappend, cslot, dst):
     """All L layers' chunk K/V land in the slot cache in ONE batched
     dynamic_update_slice chain AFTER the loop's last kernel read of the
@@ -209,13 +236,12 @@ def _fused_step(params, cfg: LlamaConfig, tokens, kv, stage, x_chk,
     ccos, csin = rope_cos_sin(cpos[None, :], hd, cfg.rope_theta)
     ar = jnp.arange(S)[None, :]
     kv_mask = (ar >= starts[:, None]) & (ar <= cur_lens[:, None])
-    # chunk rows attend their own prompt's staging history: pad <= m <= g
-    mk = jnp.arange(SK)[None, None, :]
-    cmask = (mk >= cpad) & (mk <= g[None, :, None])       # (1, P, SK)
+    cmask = _chunk_mask(SK, P, dst, cpad)
 
     x = emb
     new = kv
     cappend = []
+    sappend = []
     use_kernel = quant and decode_attn_supported(S, kvH, hd, B)
     if use_kernel:
         strict = (ar >= starts[:, None]) & (ar < cur_lens[:, None])
@@ -236,19 +262,17 @@ def _fused_step(params, cfg: LlamaConfig, tokens, kv, stage, x_chk,
         vc = va[B:].reshape(1, P, kvH, hd)
         q, k1 = apply_rope(q, k1, cos, sin)
         qc, kc = apply_rope(qc, kc, ccos, csin)
-        # chunk: append exact K/V to staging, then attend [0, g] exactly
-        stage_k = jax.lax.dynamic_update_slice(
-            stage_k, kc.astype(stage_k.dtype), (i, dst, 0, 0))
-        stage_v = jax.lax.dynamic_update_slice(
-            stage_v, vc.astype(stage_v.dtype), (i, dst, 0, 0))
-        cattn, _ = _attn(qc, stage_k[i][None], stage_v[i][None], cmask, cfg,
-                         want_probs=False)
-        # write-through: the chunk's K/V land in the slot cache (int8 per
-        # (token, head) under kv_quant — the same scales the monolithic
-        # prefill produces), DEFERRED to one batched write after the last
-        # stale kernel read — a per-layer DUS interleaved with the kernel's
-        # step-entry reads defeats the cache's in-place update chain
-        # (ops/pallas_decode_attn.py design rule 2; measured 4x step cost)
+        # chunk attention = [staging history | fresh chunk], one exact
+        # softmax over the concatenated keys. The fresh K/V NEVER touch
+        # staging inside the loop — all writes (staging AND slot cache)
+        # defer to one batched post-loop append, because a per-layer DUS
+        # on a big donated buffer interleaved with the kernel's custom
+        # calls defeats in-place updates (measured: the cache version cost
+        # 4×/step; the staging version ~45 ms/step = 2×32×503 MB copies)
+        k_all = jnp.concatenate([stage_k[i][None].astype(kc.dtype), kc], 1)
+        v_all = jnp.concatenate([stage_v[i][None].astype(vc.dtype), vc], 1)
+        cattn, _ = _attn(qc, k_all, v_all, cmask, cfg, want_probs=False)
+        sappend.append((kc, vc))
         if quant:
             cappend.append((*quantize_kv(kc), *quantize_kv(vc)))
         else:
@@ -319,6 +343,7 @@ def _fused_step(params, cfg: LlamaConfig, tokens, kv, stage, x_chk,
     else:
         ck, cv = _chunk_write_dense(new.k, new.v, cappend, cslot, dst)
         new = LlamaKVCache(ck, cv)
+    stage_k, stage_v = _stage_write(stage_k, stage_v, sappend, dst)
     xf = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     # prompt's last valid row (garbage unless this chunk completes a prompt)
     cf = rms_norm(x_chk[lastrow][None, None], params["norm"],
@@ -387,13 +412,13 @@ def _fused_step_qwen(params, cfg, tokens, kv, stage, x_chk, ccos, csin,
     g = dst + jnp.arange(P)
     ar = jnp.arange(S)[None, :]
     kv_mask = (ar >= starts[:, None]) & (ar <= cur_lens[:, None])
-    mk = jnp.arange(SK)[None, None, :]
-    cmask = (mk >= cpad) & (mk <= g[None, :, None])
+    cmask = _chunk_mask(SK, P, dst, cpad)
 
     x = emb
     x_c = x_chk
     new = kv
     cappend = []
+    sappend = []
     use_kernel = quant and decode_attn_supported(S, kvH, hd, B)
     if use_kernel:
         strict = (ar >= starts[:, None]) & (ar < cur_lens[:, None])
@@ -414,14 +439,12 @@ def _fused_step_qwen(params, cfg, tokens, kv, stage, x_chk, ccos, csin,
         vc = va[B:].reshape(1, P, kvH, hd)
         q, k1 = _apply_rope(q, k1, cos, sin)
         qc, kc = _apply_rope(qc, kc, ccos[None], csin[None])
-        stage_k = jax.lax.dynamic_update_slice(
-            stage_k, kc.astype(stage_k.dtype), (i, dst, 0, 0))
-        stage_v = jax.lax.dynamic_update_slice(
-            stage_v, vc.astype(stage_v.dtype), (i, dst, 0, 0))
-        cattn, _ = _qattn(qc, stage_k[i][None], stage_v[i][None], cmask, cfg,
-                          want_probs=False)
-        # chunk write-through deferred to one batched post-loop write
-        # (see _chunk_write_quant)
+        # [staging history | fresh chunk] attention; all writes deferred
+        # to the batched post-loop appends (see _chunk_mask/_stage_write)
+        k_all = jnp.concatenate([stage_k[i][None].astype(kc.dtype), kc], 1)
+        v_all = jnp.concatenate([stage_v[i][None].astype(vc.dtype), vc], 1)
+        cattn, _ = _qattn(qc, k_all, v_all, cmask, cfg, want_probs=False)
+        sappend.append((kc, vc))
         if quant:
             cappend.append((*quantize_kv(kc), *quantize_kv(vc)))
             k1q, k1s = quantize_kv(k1)
@@ -479,6 +502,7 @@ def _fused_step_qwen(params, cfg, tokens, kv, stage, x_chk, ccos, csin,
         new = _chunk_write_quant(new, cappend, cslot, dst)
     else:
         new = _chunk_write_dense(new[0], new[1], cappend, cslot, dst)
+    stage_k, stage_v = _stage_write(stage_k, stage_v, sappend, dst)
     xf = rms_norm(x, params["text"]["norm"], cfg.rms_norm_eps)
     cf = rms_norm(x_c[lastrow][None, None], params["text"]["norm"],
                   cfg.rms_norm_eps)
