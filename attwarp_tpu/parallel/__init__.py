@@ -6,7 +6,7 @@ from attwarp_tpu.parallel.mesh import (
     shard_batch,
     shard_params,
 )
-from attwarp_tpu.parallel.sp_prefill import sp_prefill
+from attwarp_tpu.parallel.sp_prefill import sp_prefill, sp_prefill_qwen
 from attwarp_tpu.parallel.warp_sharded import make_sharded_warp
 from attwarp_tpu.parallel.llava_sharding import (
     llava_param_specs,
@@ -22,6 +22,7 @@ __all__ = [
     "param_sharding_rules",
     "make_sharded_warp",
     "sp_prefill",
+    "sp_prefill_qwen",
     "llava_param_specs",
     "shard_llava_params",
     "qwen2vl_param_specs",

@@ -104,6 +104,104 @@ def _ring_attn(q, k, v, q_idx, k_idx, k_valid, cfg: LlamaConfig, axis: str):
     return out.transpose(0, 2, 1, 3).reshape(B, Tl, H * hd).astype(q.dtype)
 
 
+def sp_prefill_qwen(
+    params: Dict[str, Any],
+    cfg,                            # Qwen2VLTextConfig
+    inputs_embeds: jnp.ndarray,     # (B, T, D)
+    attention_mask: jnp.ndarray,    # (B, T) bool
+    cos: jnp.ndarray,               # (B, T, head_dim) M-RoPE tables
+    sin: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "data",
+    max_seq: Optional[int] = None,
+    extract_layer=None,
+):
+    """Sequence-parallel `qwen2vl_prefill` (models/qwen2vl.py:314): the same
+    ring-attention schedule as `sp_prefill`, for the second model family.
+
+    M-RoPE only changes the cos/sin applied to q/k BEFORE attention — the
+    caller passes the full-prompt (B, T, head_dim) tables (from
+    `get_mrope_positions` + `mrope_cos_sin`, exactly the dense prefill's
+    contract) and they shard with the embeds; the ring itself is
+    family-agnostic (`_ring_attn` reads only H/kvH/head_dim from the
+    config). Qwen2's q/k/v biases ride through `apply_linear`. Returns the
+    dense-path contract: (last logits, (k, v) stacked (L, B, max_seq, kvH,
+    hd) cache, extract rows) — the cache feeds `qwen2vl_decode_step`
+    unchanged. Parity: tests/test_sp_prefill.py::test_sp_qwen_*.
+    """
+    from attwarp_tpu.models.qwen2vl import _apply_rope as qwen_rope
+    from attwarp_tpu.models.qwen2vl import _mlp as qwen_mlp
+    from attwarp_tpu.models.qwen2vl import _qkv as qwen_qkv
+
+    B, T, D = inputs_embeds.shape
+    n = mesh.shape[axis]
+    if T % n:
+        raise ValueError(f"prompt length {T} not divisible by {axis}={n}")
+    max_seq = max_seq or T
+    want = extract_layers_tuple(extract_layer)
+    abs_idx = jnp.arange(T, dtype=jnp.int32)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.tree_util.tree_map(lambda _: P(), params),
+            P(None, axis, None),     # embeds: sequence-sharded
+            P(None, axis),           # mask
+            P(None, axis, None),     # cos
+            P(None, axis, None),     # sin
+            P(axis),                 # absolute indices
+        ),
+        out_specs=(
+            P(),                                   # last logits
+            (P(None, None, axis, None, None),) * 2,  # cache k, v
+            P(),                                   # extract rows
+        ),
+        check_vma=False,
+    )
+    def run(pp, emb, msk, cosl, sinl, aidx):
+        x = emb
+        ks, vs = [], []
+        rows = {}
+        for i, lp in enumerate(pp["layers"]):
+            h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+            q, k, v = qwen_qkv(lp, cfg, h)
+            q, k = qwen_rope(q, k, cosl, sinl)
+            attn = _ring_attn(q, k, v, aidx, aidx, msk, cfg, axis)
+            x = x + apply_linear(attn, lp["o_proj"])
+            h2 = rms_norm(x, lp["post_attention_layernorm"],
+                          cfg.rms_norm_eps)
+            x = x + qwen_mlp(lp, h2)
+            ks.append(k)
+            vs.append(v)
+            if i in want:
+                kf = jax.lax.all_gather(k, axis, axis=1, tiled=True)
+                mf = jax.lax.all_gather(msk, axis, axis=1, tiled=True)
+                qlast = jax.lax.all_gather(
+                    q[:, -1:], axis, axis=1, tiled=True)[:, -1]
+                rows[i] = _last_row_probs(qlast, kf, mf, cfg)
+        xl = rms_norm(x[:, -1:], pp["norm"], cfg.rms_norm_eps)[:, 0]
+        lm_head = pp.get("lm_head", pp["embed_tokens"])
+        logits_loc = xl.astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
+        me = jax.lax.axis_index(axis)
+        sel = (me == jax.lax.psum(1, axis) - 1).astype(jnp.float32)
+        logits = jax.lax.psum(logits_loc * sel, axis)
+        kcat = jnp.stack(ks)
+        vcat = jnp.stack(vs)
+        row_out = (jnp.stack([rows[i] for i in want])
+                   if want else jnp.zeros((1,), jnp.float32))
+        return logits, (kcat, vcat), row_out
+
+    logits, (k_all, v_all), rows = run(
+        params, inputs_embeds, attention_mask, cos, sin, abs_idx)
+    pad = ((0, 0), (0, 0), (0, max_seq - T), (0, 0), (0, 0))
+    cache = (jnp.pad(k_all, pad), jnp.pad(v_all, pad))
+    if not want:
+        return logits, cache, None
+    rows_d = {l: rows[j] for j, l in enumerate(want)}
+    return logits, cache, _stack_rows(rows_d, extract_layer)
+
+
 def sp_prefill(
     params: Dict[str, Any],
     cfg: LlamaConfig,

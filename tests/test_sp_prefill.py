@@ -154,3 +154,135 @@ def test_sp_decode_continues_from_cache(tiny, rng):
                                   jnp.asarray(T), pos, kv_mask)
     np.testing.assert_allclose(np.asarray(ls2), np.asarray(ld2),
                                rtol=1e-5, atol=1e-5)
+
+
+# ── Qwen2-VL family ─────────────────────────────────────────────────────
+
+
+def _qwen_params(cfg, seed=0):
+    r = np.random.default_rng(seed)
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    H, kvH, hd = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
+
+    def lin(o, i):
+        return jnp.asarray(r.standard_normal((o, i)) / np.sqrt(i), jnp.float32)
+
+    def linb(o, i):
+        return {"weight": lin(o, i),
+                "bias": jnp.asarray(r.standard_normal((o,)) * 0.02,
+                                    jnp.float32)}
+
+    return {
+        "embed_tokens": jnp.asarray(
+            r.standard_normal((cfg.vocab_size, D)) * 0.05, jnp.float32),
+        "norm": jnp.ones((D,)),
+        "layers": [
+            {
+                "q_proj": linb(H * hd, D), "k_proj": linb(kvH * hd, D),
+                "v_proj": linb(kvH * hd, D), "o_proj": lin(D, D),
+                "gate_proj": lin(I, D), "up_proj": lin(I, D),
+                "down_proj": lin(D, I),
+                "input_layernorm": jnp.ones((D,)),
+                "post_attention_layernorm": jnp.ones((D,)),
+            }
+            for _ in range(cfg.num_hidden_layers)
+        ],
+    }
+
+
+@pytest.fixture(scope="module")
+def tiny_qwen():
+    from attwarp_tpu.models.qwen2vl import Qwen2VLTextConfig
+
+    cfg = Qwen2VLTextConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        mrope_section=(2, 3, 3),
+    )
+    return cfg, _qwen_params(cfg)
+
+
+def _mrope_tables(cfg, mask, rng):
+    """Synthetic 3-stream M-RoPE positions (text ramp + a 2D vision patch
+    pattern mid-prompt) -> the (B, T, hd) cos/sin the prefill contract takes."""
+    from attwarp_tpu.models.qwen2vl import mrope_cos_sin
+
+    B, T = mask.shape
+    pos = np.tile(np.arange(T, dtype=np.int64), (3, B, 1))
+    mid = slice(T // 4, T // 4 + 4)
+    pos[1, :, mid] = pos[0, :, mid] // 2      # h stream diverges
+    pos[2, :, mid] = pos[0, :, mid] % 3       # w stream diverges
+    return mrope_cos_sin(jnp.asarray(pos), cfg)
+
+
+@pytest.mark.parametrize("n", [2, 4])
+def test_sp_qwen_matches_dense(tiny_qwen, rng, n):
+    from attwarp_tpu.models.qwen2vl import qwen2vl_prefill
+    from attwarp_tpu.parallel.sp_prefill import sp_prefill_qwen
+
+    cfg, params = tiny_qwen
+    T, B = 16, 2
+    embeds = jnp.asarray(rng.standard_normal((B, T, 64)) * 0.5, jnp.float32)
+    mask = jnp.ones((B, T), bool)
+    cos, sin = _mrope_tables(cfg, mask, rng)
+    ld, (kd, vd), rd = qwen2vl_prefill(params, cfg, embeds, mask, cos, sin,
+                                       max_seq=24, extract_layer=1)
+    ls, (ks, vs), rs = sp_prefill_qwen(params, cfg, embeds, mask, cos, sin,
+                                       _mesh(n), axis="sp", max_seq=24,
+                                       extract_layer=1)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(ld),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rs), np.asarray(rd),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ks), np.asarray(kd),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(vd),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sp_qwen_left_padding_and_decode(tiny_qwen, rng):
+    from attwarp_tpu.models.qwen2vl import qwen2vl_decode_step, qwen2vl_prefill
+    from attwarp_tpu.parallel.sp_prefill import sp_prefill_qwen
+
+    cfg, params = tiny_qwen
+    T, B, S = 16, 3, 20
+    embeds = jnp.asarray(rng.standard_normal((B, T, 64)) * 0.5, jnp.float32)
+    mask = np.ones((B, T), bool)
+    mask[0, :5] = False
+    mask[1, :11] = False          # pad crosses shard boundaries at n=8
+    maskj = jnp.asarray(mask)
+    cos, sin = _mrope_tables(cfg, maskj, rng)
+    ld, cd, rd = qwen2vl_prefill(params, cfg, embeds, maskj, cos, sin,
+                                 max_seq=S, extract_layer=2)
+    ls, cs, rs = sp_prefill_qwen(params, cfg, embeds, maskj, cos, sin,
+                                 _mesh(8), axis="sp", max_seq=S,
+                                 extract_layer=2)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(ld),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rs), np.asarray(rd),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(cs[0])[:, :, :T][:, mask],
+        np.asarray(cd[0])[:, :, :T][:, mask], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(cs[1])[:, :, :T][:, mask],
+        np.asarray(cd[1])[:, :, :T][:, mask], rtol=1e-5, atol=1e-5)
+
+    # the sp cache continues through the existing decode step identically
+    tok = jnp.argmax(ls, -1)
+    emb_tok = params["embed_tokens"][tok][:, None, :]
+    pos_new = jnp.tile(jnp.asarray(mask.sum(1), jnp.int32)[None, :, None],
+                       (3, 1, 1))
+    from attwarp_tpu.models.qwen2vl import mrope_cos_sin
+
+    cos1, sin1 = mrope_cos_sin(pos_new, cfg)
+    kv_mask = np.zeros((B, S), bool)
+    kv_mask[:, :T] = mask
+    kv_mask[:, T] = True
+    kvm = jnp.asarray(kv_mask)
+    ld2, _, _ = qwen2vl_decode_step(params, cfg, emb_tok, cd,
+                                    jnp.asarray(T), cos1, sin1, kvm)
+    ls2, _, _ = qwen2vl_decode_step(params, cfg, emb_tok, cs,
+                                    jnp.asarray(T), cos1, sin1, kvm)
+    np.testing.assert_allclose(np.asarray(ls2), np.asarray(ld2),
+                               rtol=1e-5, atol=1e-5)
