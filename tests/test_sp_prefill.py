@@ -286,3 +286,27 @@ def test_sp_qwen_left_padding_and_decode(tiny_qwen, rng):
                                     jnp.asarray(T), cos1, sin1, kvm)
     np.testing.assert_allclose(np.asarray(ls2), np.asarray(ld2),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sp_composes_with_int8_weights(tiny, rng):
+    """w8a8 decoder linears ride through the ring unchanged: activation
+    quantization is per-token (last axis), so sharding the sequence dim
+    changes no quantization group; only the streaming-softmax f32
+    reassociation differs from dense."""
+    from attwarp_tpu.numerics.quant import quantize_decoder_params
+
+    cfg, params = tiny
+    qp = quantize_decoder_params(params)
+    T, B = 16, 2
+    embeds = jnp.asarray(rng.standard_normal((B, T, 64)) * 0.5, jnp.float32)
+    mask = jnp.ones((B, T), bool)
+    ld, cd, rd = llama_prefill(qp, cfg, embeds, mask, max_seq=16,
+                               extract_layer=1)
+    ls, cs, rs = sp_prefill(qp, cfg, embeds, mask, _mesh(4), axis="sp",
+                            max_seq=16, extract_layer=1)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(ld),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rs), np.asarray(rd),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cs.k), np.asarray(cd.k),
+                               rtol=1e-4, atol=1e-4)
