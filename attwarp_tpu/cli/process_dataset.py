@@ -86,7 +86,9 @@ def build_parser() -> argparse.ArgumentParser:
              "'qwen2vl:<hf-id-or-path>', or 'qwen2vl-ckpt:<orbax-dir>'; "
              "append '+int8' to quantize the decoder for serving (w8a8), "
              "'+kv8' for an int8 KV cache (2x decode batch capacity), "
-             "and/or '+flash' for the Pallas flash-attention prefill (TPU)",
+             "'+lm8' for an int8 LM head (quarters the logits-matmul HBM "
+             "stream; logit precision moves), and/or '+flash' for the "
+             "Pallas flash-attention prefill (TPU)",
     )
     return p
 
@@ -109,12 +111,19 @@ def make_backend(name: str, layer_index):
     # batch capacity); flash routes the prefill through the Pallas
     # flash-attention kernel (TPU; extraction prefill is SURVEY §3.1 HOT LOOP 1)
     base, sep, suffix = name.rpartition("+")
-    if sep and suffix in ("int8", "kv8", "flash"):
+    if sep and suffix in ("int8", "kv8", "flash", "lm8"):
         be = make_backend(base, layer_index)
         if suffix == "int8":
             if not hasattr(be, "quantize_int8"):
                 raise ValueError(f"backend {base!r} has no int8 serving path")
             return be.quantize_int8()
+        if suffix == "lm8":
+            # int8 LM head: quarters the biggest non-decoder per-step HBM
+            # stream (Qwen2-VL's 152k-vocab head). Logit precision moves —
+            # opt-in, see numerics/quant.py::lm_logits.
+            if not hasattr(be, "quantize_lm_head"):
+                raise ValueError(f"backend {base!r} has no int8 LM-head path")
+            return be.quantize_lm_head()
         if suffix == "kv8":
             if not hasattr(be, "kv_quant"):
                 raise ValueError(f"backend {base!r} has no int8 KV-cache path")

@@ -28,8 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("Continuous-batching MLLM serving")
     p.add_argument("--backend", required=True,
                    help="'llava:<path>', 'llava-ckpt:<dir>', 'qwen2vl:<path>',"
-                        " 'qwen2vl-ckpt:<dir>' (+int8/+kv8 suffixes compose);"
-                        " the mini test backend has no serving path")
+                        " 'qwen2vl-ckpt:<dir>' (+int8/+kv8/+lm8 suffixes"
+                        " compose); the mini test backend has no serving path")
     p.add_argument("--jsonl", required=True,
                    help="requests: one {image_path?, question} per line; "
                         "ids-level clients may pass {input_ids: [...]} "

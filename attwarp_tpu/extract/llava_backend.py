@@ -208,6 +208,19 @@ class LlavaBackend:
         )
         return self
 
+    def quantize_lm_head(self) -> "LlavaBackend":
+        """int8 LM head (backend spec ``+lm8``): quantize the logits matmul
+        weight. At 7B this halves the ~0.26 GB bf16 head stream per decode
+        step (and quarters the 2x-widened f32 stream the dense form's
+        upcast matmul actually reads). Logit precision moves — opt-in; see
+        ``numerics/quant.py::lm_logits``."""
+        from attwarp_tpu.numerics.quant import quantize_lm_head
+
+        self.model.params["llama"] = quantize_lm_head(
+            self.model.params["llama"]
+        )
+        return self
+
     # ── properties ─────────────────────────────────────────────────────
     @property
     def image_size(self) -> int:

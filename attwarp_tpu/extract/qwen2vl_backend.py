@@ -185,6 +185,19 @@ class Qwen2VLBackend:
         )
         return self
 
+    def quantize_lm_head(self) -> "Qwen2VLBackend":
+        """int8 LM head (backend spec ``+lm8``): Qwen2-VL's 152k-vocab bf16
+        head is 1.09 GB — the single largest per-decode-step HBM stream
+        after the decoder linears, and the dense form's f32-upcast matmul
+        streams 2.18 GB. int8 quarters the bf16 bytes. Logit precision
+        moves — opt-in; see ``numerics/quant.py::lm_logits``."""
+        from attwarp_tpu.numerics.quant import quantize_lm_head
+
+        self.model.params["text"] = quantize_lm_head(
+            self.model.params["text"]
+        )
+        return self
+
     @property
     def num_patches_side(self) -> int:
         unit = self.model.cfg.vision.patch_size * self.model.cfg.vision.spatial_merge_size

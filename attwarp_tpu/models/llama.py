@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from attwarp_tpu.numerics.quant import apply_linear, quantize_kv
+from attwarp_tpu.numerics.quant import apply_linear, lm_logits, quantize_kv
 from attwarp_tpu.ops.pallas_decode_attn import (
     decode_attn_quantcache,
     decode_attn_supported,
@@ -356,8 +356,7 @@ def llama_prefill(
             ks.append(jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))))
             vs.append(jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))))
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
-    lm_head = params.get("lm_head", params["embed_tokens"])
-    logits = x[:, -1].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
+    logits = lm_logits(x[:, -1], params)
     if kv_quant:
         cache = QuantKVCache(
             jnp.stack([a for a, _ in ks]), jnp.stack([b for _, b in ks]),
@@ -505,6 +504,5 @@ def llama_decode_step(
             app(kv0.v_s, [a[3] for a in appends]),
         )
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
-    lm_head = params.get("lm_head", params["embed_tokens"])
-    logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
+    logits = lm_logits(x[:, 0], params)
     return logits, kv, _stack_rows(rows, extract_layer)

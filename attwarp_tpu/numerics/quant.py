@@ -90,6 +90,49 @@ def apply_linear(h: jnp.ndarray, w: Any) -> jnp.ndarray:
     return y.astype(h.dtype)
 
 
+def lm_logits(x: jnp.ndarray, params: Dict[str, Any]) -> jnp.ndarray:
+    """Final-hidden -> f32 logits for every lm_head form.
+
+    ``x``: (B, hidden) last-position hidden states. The head is
+    ``params["lm_head"]`` (falling back to the tied ``embed_tokens``):
+
+    - dense (vocab, hidden) array -> f32 matmul, bit-identical to the
+      original inline form (parity-critical: greedy tokens match HF);
+    - ``{"q", "s"}`` int8 (from ``quantize_lm_head``) -> w8a8 matmul with
+      int32 accumulation, rescaled to f32.
+
+    WHY the int8 head exists: at Qwen2-VL-7B the 152k-vocab bf16 head is
+    1.09 GB — the single largest per-decode-step HBM stream after the
+    decoder linears — and the f32-upcast matmul XLA emits for the dense
+    form streams a 2.18 GB f32 copy instead. int8 quarters that. Opt-in
+    (backend spec ``+lm8``) because logit precision moves: greedy decode
+    can flip near-tie tokens (measured parity in tests/test_quant.py).
+    """
+    w = params.get("lm_head", params["embed_tokens"])
+    if is_quantized(w):
+        x32 = x.astype(jnp.float32)
+        ascale = jnp.maximum(
+            jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(x32 / ascale), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq, w["q"],
+            (((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return y.astype(jnp.float32) * ascale * w["s"]
+    return x.astype(jnp.float32) @ w.T.astype(jnp.float32)
+
+
+def quantize_lm_head(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Return ``params`` with an int8 ``lm_head`` (untying it from
+    ``embed_tokens`` when tied — the embedding lookup keeps its original
+    dtype; only the logits matmul reads int8)."""
+    out = dict(params)
+    out["lm_head"] = quantize_linear(
+        params.get("lm_head", params["embed_tokens"]))
+    return out
+
+
 def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric per-(token, head) int8 KV quantization.
 

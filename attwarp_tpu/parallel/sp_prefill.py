@@ -33,6 +33,18 @@ costs one all-gather of that layer's K, O(T) not O(T²).
 Parity pinned by tests/test_sp_prefill.py: logits + cache + extract rows
 vs `llama_prefill` on an 8-device CPU mesh, with and without left padding,
 n=2/4/8.
+
+Pad-position caveat: at left-pad query positions (no visible key anywhere)
+the ring path emits exact zeros where the dense path emits a softmax over
+an all-masked row — so activations and cache entries AT PAD SLOTS differ
+between the two paths by construction. They are never parity-checked and
+must stay masked downstream (the decode steps' `kv_mask` already does).
+
+``kv_quant=True`` returns a `QuantKVCache` (int8 + per-(token, head) f32
+scales), quantized per shard-local block INSIDE the shard_map — exactly
+equal to quantizing the gathered cache, since the scale granularity never
+crosses a token — so serving callers get drop-in parity with
+`llama_prefill(kv_quant=True)` without a second full-cache HBM pass.
 """
 
 from __future__ import annotations
@@ -49,6 +61,7 @@ from jax import shard_map
 from attwarp_tpu.models.llama import (
     LlamaConfig,
     LlamaKVCache,
+    QuantKVCache,
     _last_row_probs,
     _repeat_kv,
     _stack_rows,
@@ -57,7 +70,17 @@ from attwarp_tpu.models.llama import (
     rms_norm,
     rope_cos_sin,
 )
-from attwarp_tpu.numerics.quant import apply_linear
+from attwarp_tpu.numerics.quant import apply_linear, lm_logits, quantize_kv
+
+
+def _check_max_seq(max_seq: Optional[int], T: int) -> int:
+    """Validate the cache length up front (a too-small max_seq would only
+    surface later as a cryptic negative-padding error inside jnp.pad)."""
+    if max_seq is None:
+        return T
+    if max_seq < T:
+        raise ValueError(f"max_seq={max_seq} < prompt length T={T}")
+    return max_seq
 
 _NEG = jnp.finfo(jnp.float32).min
 
@@ -115,6 +138,7 @@ def sp_prefill_qwen(
     axis: str = "data",
     max_seq: Optional[int] = None,
     extract_layer=None,
+    kv_quant: bool = False,
 ):
     """Sequence-parallel `qwen2vl_prefill` (models/qwen2vl.py:314): the same
     ring-attention schedule as `sp_prefill`, for the second model family.
@@ -127,7 +151,9 @@ def sp_prefill_qwen(
     config). Qwen2's q/k/v biases ride through `apply_linear`. Returns the
     dense-path contract: (last logits, (k, v) stacked (L, B, max_seq, kvH,
     hd) cache, extract rows) — the cache feeds `qwen2vl_decode_step`
-    unchanged. Parity: tests/test_sp_prefill.py::test_sp_qwen_*.
+    unchanged, or a `QuantKVCache` with ``kv_quant=True`` (quantized on the
+    local shard inside the shard_map; exact vs quantizing the full cache).
+    Parity: tests/test_sp_prefill.py::test_sp_qwen_*.
     """
     from attwarp_tpu.models.qwen2vl import _apply_rope as qwen_rope
     from attwarp_tpu.models.qwen2vl import _mlp as qwen_mlp
@@ -137,9 +163,13 @@ def sp_prefill_qwen(
     n = mesh.shape[axis]
     if T % n:
         raise ValueError(f"prompt length {T} not divisible by {axis}={n}")
-    max_seq = max_seq or T
+    max_seq = _check_max_seq(max_seq, T)
     want = extract_layers_tuple(extract_layer)
     abs_idx = jnp.arange(T, dtype=jnp.int32)
+
+    blk5 = P(None, None, axis, None, None)   # (L, B, Tl, kvH, hd)
+    blk4 = P(None, None, axis, None)         # (L, B, Tl, kvH) scales
+    cache_spec = ((blk5, blk4) * 2) if kv_quant else (blk5,) * 2
 
     @partial(
         shard_map,
@@ -153,9 +183,9 @@ def sp_prefill_qwen(
             P(axis),                 # absolute indices
         ),
         out_specs=(
-            P(),                                   # last logits
-            (P(None, None, axis, None, None),) * 2,  # cache k, v
-            P(),                                   # extract rows
+            P(),                     # last logits
+            cache_spec,              # cache k, v (+ scales when quantized)
+            P(),                     # extract rows
         ),
         check_vma=False,
     )
@@ -181,21 +211,33 @@ def sp_prefill_qwen(
                     q[:, -1:], axis, axis=1, tiled=True)[:, -1]
                 rows[i] = _last_row_probs(qlast, kf, mf, cfg)
         xl = rms_norm(x[:, -1:], pp["norm"], cfg.rms_norm_eps)[:, 0]
-        lm_head = pp.get("lm_head", pp["embed_tokens"])
-        logits_loc = xl.astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
+        logits_loc = lm_logits(xl, pp)
         me = jax.lax.axis_index(axis)
         sel = (me == jax.lax.psum(1, axis) - 1).astype(jnp.float32)
         logits = jax.lax.psum(logits_loc * sel, axis)
         kcat = jnp.stack(ks)
         vcat = jnp.stack(vs)
+        if kv_quant:
+            kq, ksc = quantize_kv(kcat)
+            vq, vsc = quantize_kv(vcat)
+            cache_out = (kq, ksc, vq, vsc)
+        else:
+            cache_out = (kcat, vcat)
         row_out = (jnp.stack([rows[i] for i in want])
                    if want else jnp.zeros((1,), jnp.float32))
-        return logits, (kcat, vcat), row_out
+        return logits, cache_out, row_out
 
-    logits, (k_all, v_all), rows = run(
+    logits, cache_parts, rows = run(
         params, inputs_embeds, attention_mask, cos, sin, abs_idx)
-    pad = ((0, 0), (0, 0), (0, max_seq - T), (0, 0), (0, 0))
-    cache = (jnp.pad(k_all, pad), jnp.pad(v_all, pad))
+    pad5 = ((0, 0), (0, 0), (0, max_seq - T), (0, 0), (0, 0))
+    if kv_quant:
+        pad4 = pad5[:-1]
+        kq, ksc, vq, vsc = cache_parts
+        cache = QuantKVCache(
+            jnp.pad(kq, pad5), jnp.pad(ksc, pad4),
+            jnp.pad(vq, pad5), jnp.pad(vsc, pad4))
+    else:
+        cache = (jnp.pad(cache_parts[0], pad5), jnp.pad(cache_parts[1], pad5))
     if not want:
         return logits, cache, None
     rows_d = {l: rows[j] for j, l in enumerate(want)}
@@ -211,13 +253,15 @@ def sp_prefill(
     axis: str = "data",
     max_seq: Optional[int] = None,
     extract_layer=None,
+    kv_quant: bool = False,
 ):
-    """Sequence-parallel `llama_prefill`. T must divide the `axis` size."""
+    """Sequence-parallel `llama_prefill`. T must divide the `axis` size.
+    ``kv_quant=True`` returns a `QuantKVCache` (module docstring)."""
     B, T, D = inputs_embeds.shape
     n = mesh.shape[axis]
     if T % n:
         raise ValueError(f"prompt length {T} not divisible by {axis}={n}")
-    max_seq = max_seq or T
+    max_seq = _check_max_seq(max_seq, T)
     want = extract_layers_tuple(extract_layer)
 
     # rope positions follow the HF left-pad convention (valid-token count),
@@ -232,6 +276,10 @@ def sp_prefill(
     def spec(*names):
         return P(*names)
 
+    blk5 = spec(None, None, axis, None, None)   # (L, B, Tl, kvH, hd)
+    blk4 = spec(None, None, axis, None)         # (L, B, Tl, kvH) scales
+    cache_spec = ((blk5, blk4) * 2) if kv_quant else (blk5,) * 2
+
     @partial(
         shard_map,
         mesh=mesh,
@@ -243,9 +291,9 @@ def sp_prefill(
             spec(axis),                  # absolute indices
         ),
         out_specs=(
-            spec(),                                   # last logits
-            (spec(None, None, axis, None, None),) * 2,  # cache k, v
-            spec(),                                   # extract rows
+            spec(),                      # last logits
+            cache_spec,                  # cache k, v (+ scales if quantized)
+            spec(),                      # extract rows
         ),
         check_vma=False,
     )
@@ -287,22 +335,35 @@ def sp_prefill(
                     q[:, -1:], axis, axis=1, tiled=True)[:, -1]
                 rows[i] = _last_row_probs(qlast, kf, mf, cfg)
         xl = rms_norm(x[:, -1:], pp["norm"], cfg.rms_norm_eps)[:, 0]
-        lm_head = pp.get("lm_head", pp["embed_tokens"])
-        logits_loc = xl.astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
+        logits_loc = lm_logits(xl, pp)
         # the prompt's last token lives on the last shard; select it
         me = jax.lax.axis_index(axis)
         sel = (me == jax.lax.psum(1, axis) - 1).astype(jnp.float32)
         logits = jax.lax.psum(logits_loc * sel, axis)
-        kcat = jnp.stack(ks)[None]     # (1, L, B, Tl, kvH, hd) — shard axis 2
-        vcat = jnp.stack(vs)[None]
+        kcat = jnp.stack(ks)           # (L, B, Tl, kvH, hd) — shard axis 2
+        vcat = jnp.stack(vs)
+        if kv_quant:
+            kq, ksc = quantize_kv(kcat)
+            vq, vsc = quantize_kv(vcat)
+            cache_out = (kq, ksc, vq, vsc)
+        else:
+            cache_out = (kcat, vcat)
         row_out = (jnp.stack([rows[i] for i in want])
                    if want else jnp.zeros((1,), jnp.float32))
-        return logits, (kcat.squeeze(0), vcat.squeeze(0)), row_out
+        return logits, cache_out, row_out
 
-    logits, (k_all, v_all), rows = run(
+    logits, cache_parts, rows = run(
         params, inputs_embeds, attention_mask, positions, abs_idx)
-    pad = ((0, 0), (0, 0), (0, max_seq - T), (0, 0), (0, 0))
-    cache = LlamaKVCache(jnp.pad(k_all, pad), jnp.pad(v_all, pad))
+    pad5 = ((0, 0), (0, 0), (0, max_seq - T), (0, 0), (0, 0))
+    if kv_quant:
+        pad4 = pad5[:-1]
+        kq, ksc, vq, vsc = cache_parts
+        cache = QuantKVCache(
+            jnp.pad(kq, pad5), jnp.pad(ksc, pad4),
+            jnp.pad(vq, pad5), jnp.pad(vsc, pad4))
+    else:
+        cache = LlamaKVCache(jnp.pad(cache_parts[0], pad5),
+                             jnp.pad(cache_parts[1], pad5))
     if not want:
         return logits, cache, None
     rows_d = {l: rows[j] for j, l in enumerate(want)}

@@ -80,7 +80,7 @@ from attwarp_tpu.models.llama import (
     rms_norm,
     rope_cos_sin,
 )
-from attwarp_tpu.numerics.quant import apply_linear, dequantize_kv, quantize_kv
+from attwarp_tpu.numerics.quant import apply_linear, dequantize_kv, lm_logits, quantize_kv
 from attwarp_tpu.ops.pallas_decode_attn import (
     decode_attn_quantcache,
     decode_attn_supported,
@@ -349,8 +349,7 @@ def _fused_step(params, cfg: LlamaConfig, tokens, kv, stage, x_chk,
     cf = rms_norm(x_chk[lastrow][None, None], params["norm"],
                   cfg.rms_norm_eps)
     rows = jnp.concatenate([xf[:, 0], cf[0]], axis=0)      # (B+1, D)
-    lm_head = params.get("lm_head", params["embed_tokens"])
-    logits = rows.astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
+    logits = lm_logits(rows, params)
     return logits[:B], logits[B], new, (stage_k, stage_v)
 
 
@@ -507,8 +506,7 @@ def _fused_step_qwen(params, cfg, tokens, kv, stage, x_chk, ccos, csin,
     cf = rms_norm(x_c[lastrow][None, None], params["text"]["norm"],
                   cfg.rms_norm_eps)
     rows = jnp.concatenate([xf[:, 0], cf[0]], axis=0)
-    lm_head = params["text"].get("lm_head", params["text"]["embed_tokens"])
-    logits = rows.astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
+    logits = lm_logits(rows, params["text"])
     return logits[:B], logits[B], new, (stage_k, stage_v)
 
 

@@ -59,7 +59,7 @@ from attwarp_tpu.models.llama import (
     rms_norm,
     rope_cos_sin,
 )
-from attwarp_tpu.numerics.quant import apply_linear, dequantize_kv, quantize_kv
+from attwarp_tpu.numerics.quant import apply_linear, dequantize_kv, lm_logits, quantize_kv
 from attwarp_tpu.ops.pallas_decode_attn import (
     decode_attn_quantcache,
     decode_attn_supported,
@@ -327,8 +327,7 @@ def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts):
             _upd_slot_all(kv.v_s, [a[3] for a in appends], cur_lens),
         )
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
-    lm_head = params.get("lm_head", params["embed_tokens"])
-    logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
+    logits = lm_logits(x[:, 0], params)
     return logits, new
 
 
@@ -444,8 +443,7 @@ def _qwen_step_chunk(params, cfg, tokens, kv, cur_lens, starts, deltas,
                 _upd_slot_all(kv.v_s, [a[3] for a in appends], cur_lens),
             )
         x = rms_norm(x, params["text"]["norm"], cfg.rms_norm_eps)
-        lm_head = params["text"].get("lm_head", params["text"]["embed_tokens"])
-        logits = x[:, 0].astype(jnp.float32) @ lm_head.T.astype(jnp.float32)
+        logits = lm_logits(x[:, 0], params["text"])
         return logits, new
 
     # same scan/unroll split as _step_chunk (scan double-buffers the

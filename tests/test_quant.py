@@ -123,6 +123,72 @@ def test_llama_prefill_int8_close(tiny, rng):
     assert _cos(df, dq) > 0.98, _cos(df, dq)
 
 
+def test_lm_logits_forms(tiny, rng):
+    """lm_logits: dense form bit-identical to the original inline matmul;
+    int8 form (quantize_lm_head, backend spec '+lm8') close + f32 output;
+    tied-head fallback untouched by quantization."""
+    from attwarp_tpu.numerics.quant import lm_logits, quantize_lm_head
+
+    cfg, params = tiny
+    x = jnp.asarray(rng.standard_normal((4, cfg.hidden_size)), jnp.float32)
+    dense = lm_logits(x, params)
+    ref = np.asarray(x, np.float32) @ np.asarray(
+        params["embed_tokens"], np.float32).T
+    np.testing.assert_allclose(np.asarray(dense), ref, rtol=1e-5, atol=1e-5)
+
+    qp = quantize_lm_head(params)
+    assert qp["lm_head"]["q"].dtype == jnp.int8
+    # the tied embedding table stays dense for the lookup path
+    assert qp["embed_tokens"].dtype == params["embed_tokens"].dtype
+    ql = lm_logits(x, qp)
+    assert ql.dtype == jnp.float32
+    assert _cos(dense, ql) > 0.999
+
+
+def test_lm8_margin_guarantee_and_decode_path(tiny, rng):
+    """The int8 LM head's real guarantee, stated as a test: int8 logits
+    track dense logits closely, and the int8 argmax agrees wherever the
+    dense top-2 margin exceeds twice the measured quantization error. A
+    random 97-vocab tiny model has near-tie margins almost everywhere, so
+    token-exact greedy equality is NOT the contract (one flip cascades) —
+    which is exactly why '+lm8' is opt-in on real models too. Also smokes
+    the quantized head through prefill + decode_step (the serving path)."""
+    from attwarp_tpu.numerics.quant import lm_logits, quantize_lm_head
+
+    cfg, params = tiny
+    qp = quantize_lm_head(params)
+
+    xs = jnp.asarray(rng.standard_normal((64, cfg.hidden_size)) * 2.0,
+                     jnp.float32)
+    dense = np.asarray(lm_logits(xs, params))
+    quant = np.asarray(lm_logits(xs, qp))
+    err = np.abs(dense - quant).max()
+    assert _cos(dense, quant) > 0.999
+    top2 = np.sort(dense, axis=-1)
+    margin = top2[:, -1] - top2[:, -2]
+    safe = margin > 2 * err
+    assert safe.any()  # the guarantee is non-vacuous on this draw
+    np.testing.assert_array_equal(dense[safe].argmax(-1),
+                                  quant[safe].argmax(-1))
+
+    # serving path: quantized head runs through prefill + one decode step
+    # and the logits stay close to dense at every position
+    embeds = jnp.asarray(rng.standard_normal((2, 12, 64)) * 0.5, jnp.float32)
+    mask = jnp.ones((2, 12), bool)
+    ld, kvd, _ = llama_prefill(params, cfg, embeds, mask, max_seq=20)
+    lq, kvq, _ = llama_prefill(qp, cfg, embeds, mask, max_seq=20)
+    assert _cos(ld, lq) > 0.999
+    tok = jnp.argmax(ld, -1)
+    emb = params["embed_tokens"][tok][:, None, :]
+    pos = jnp.full((2,), 12, jnp.int32)
+    kvm = jnp.broadcast_to(jnp.arange(20)[None, :] < 13, (2, 20))
+    ld2, _, _ = llama_decode_step(params, cfg, emb, kvd,
+                                  jnp.int32(12), pos, kvm)
+    lq2, _, _ = llama_decode_step(qp, cfg, emb, kvq,
+                                  jnp.int32(12), pos, kvm)
+    assert _cos(ld2, lq2) > 0.999
+
+
 def test_quantize_kv_roundtrip_bound(rng):
     from attwarp_tpu.numerics.quant import dequantize_kv, quantize_kv
 

@@ -268,11 +268,12 @@ def test_sp_qwen_left_padding_and_decode(tiny_qwen, rng):
         np.asarray(cs[1])[:, :, :T][:, mask],
         np.asarray(cd[1])[:, :, :T][:, mask], rtol=1e-5, atol=1e-5)
 
-    # the sp cache continues through the existing decode step identically
+    # the sp cache continues through the existing decode step identically;
+    # the new token's position continues the SAME absolute arange(T) stream
+    # the prefill tables were built from (position T follows position T-1)
     tok = jnp.argmax(ls, -1)
     emb_tok = params["embed_tokens"][tok][:, None, :]
-    pos_new = jnp.tile(jnp.asarray(mask.sum(1), jnp.int32)[None, :, None],
-                       (3, 1, 1))
+    pos_new = jnp.full((3, B, 1), T, jnp.int32)
     from attwarp_tpu.models.qwen2vl import mrope_cos_sin
 
     cos1, sin1 = mrope_cos_sin(pos_new, cfg)
@@ -286,6 +287,75 @@ def test_sp_qwen_left_padding_and_decode(tiny_qwen, rng):
                                     jnp.asarray(T), cos1, sin1, kvm)
     np.testing.assert_allclose(np.asarray(ls2), np.asarray(ld2),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sp_rejects_too_small_max_seq(tiny, rng):
+    """max_seq < T is a contract error raised up front, not a cryptic
+    negative-padding failure inside jnp.pad (advisor finding, round 3)."""
+    cfg, params = tiny
+    embeds = jnp.asarray(rng.standard_normal((1, 16, 64)), jnp.float32)
+    with pytest.raises(ValueError, match="max_seq"):
+        sp_prefill(params, cfg, embeds, jnp.ones((1, 16), bool), _mesh(4),
+                   axis="sp", max_seq=8)
+
+
+def test_sp_kv_quant_matches_dense_quant(tiny, rng):
+    """kv_quant=True returns a QuantKVCache identical to quantizing the
+    dense prefill's cache: per-(token, head) scales never cross a shard
+    boundary, so in-shard quantization is exact."""
+    from attwarp_tpu.models.llama import QuantKVCache, llama_prefill
+
+    cfg, params = tiny
+    T, B = 16, 2
+    embeds = jnp.asarray(rng.standard_normal((B, T, 64)) * 0.5, jnp.float32)
+    mask = jnp.ones((B, T), bool)
+    ld, cd, _ = llama_prefill(params, cfg, embeds, mask, max_seq=24,
+                              kv_quant=True)
+    ls, cs, _ = sp_prefill(params, cfg, embeds, mask, _mesh(4), axis="sp",
+                           max_seq=24, kv_quant=True)
+    assert isinstance(cs, QuantKVCache)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(ld),
+                               rtol=1e-5, atol=1e-5)
+    # int8 codes may differ by 1 LSB where the f32 ring-vs-dense values
+    # straddle a rounding boundary; compare the dequantized values
+    deq_s = np.asarray(cs.k_q, np.float32) * np.asarray(cs.k_s)[..., None]
+    deq_d = np.asarray(cd.k_q, np.float32) * np.asarray(cd.k_s)[..., None]
+    np.testing.assert_allclose(deq_s[:, :, :T], deq_d[:, :, :T], atol=1e-3)
+
+
+def test_sp_qwen_kv_quant_decodes(tiny_qwen, rng):
+    """Qwen kv_quant cache feeds qwen2vl_decode_step like the dense-path
+    QuantKVCache (serving drop-in; advisor finding, round 3)."""
+    from attwarp_tpu.models.llama import QuantKVCache
+    from attwarp_tpu.models.qwen2vl import (
+        mrope_cos_sin, qwen2vl_decode_step, qwen2vl_prefill)
+    from attwarp_tpu.parallel.sp_prefill import sp_prefill_qwen
+
+    cfg, params = tiny_qwen
+    T, B, S = 16, 2, 20
+    embeds = jnp.asarray(rng.standard_normal((B, T, 64)) * 0.5, jnp.float32)
+    mask = jnp.ones((B, T), bool)
+    cos, sin = _mrope_tables(cfg, mask, rng)
+    ld, cd, _ = qwen2vl_prefill(params, cfg, embeds, mask, cos, sin,
+                                max_seq=S, kv_quant=True)
+    ls, cs, _ = sp_prefill_qwen(params, cfg, embeds, mask, cos, sin,
+                                _mesh(4), axis="sp", max_seq=S,
+                                kv_quant=True)
+    assert isinstance(cs, QuantKVCache)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(ld),
+                               rtol=1e-5, atol=1e-5)
+    tok = jnp.argmax(ls, -1)
+    emb_tok = params["embed_tokens"][tok][:, None, :]
+    cos1, sin1 = mrope_cos_sin(jnp.full((3, B, 1), T, jnp.int32), cfg)
+    kv_mask = np.zeros((B, S), bool)
+    kv_mask[:, : T + 1] = True
+    kvm = jnp.asarray(kv_mask)
+    ld2, _, _ = qwen2vl_decode_step(params, cfg, emb_tok, cd,
+                                    jnp.asarray(T), cos1, sin1, kvm)
+    ls2, _, _ = qwen2vl_decode_step(params, cfg, emb_tok, cs,
+                                    jnp.asarray(T), cos1, sin1, kvm)
+    np.testing.assert_allclose(np.asarray(ls2), np.asarray(ld2),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_sp_composes_with_int8_weights(tiny, rng):
