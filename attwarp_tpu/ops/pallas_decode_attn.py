@@ -86,11 +86,23 @@ def _backend_on() -> bool:
     return jax.default_backend() != "cpu"
 
 
-def _seq_tile(S: int) -> int:
+_TILE_TARGET_BYTES = 2 * 2**20   # ~2 MB of int8 K+V per grid step
+
+
+def _seq_tile(S: int, kvH: int = 32, hd: int = 128) -> int:
     """Largest divisor of S that is a multiple of 32 (the int8 sublane
-    tile), capped at 256 (keeps the per-step tiles a few MB and the grid
-    deep enough to pipeline). Returns 0 if none exists."""
-    for b in range(min(256, S) // 32 * 32, 31, -32):
+    tile), capped so one grid step's K+V int8 tile is ~_TILE_TARGET_BYTES.
+
+    The cap is kvH-aware (round 4): at LLaVA geometry (kvH 32) it lands on
+    the old fixed 256, but Qwen2-VL's GQA cache (kvH 4) under a 256 cap
+    streamed only 180 KB per grid step — DMAs too small to hide their
+    issue cost, leaving the measured per-row efficiency at 44% of roofline
+    at B=64. With the byte-target cap the token tile grows 8x at kvH=4
+    (typically the whole 704-slot sequence in one step). Returns 0 if no
+    multiple-of-32 divisor exists."""
+    cap_tokens = _TILE_TARGET_BYTES // (2 * kvH * hd)
+    cap = max(32, min(cap_tokens, 2048)) // 32 * 32
+    for b in range(min(cap, S) // 32 * 32, 31, -32):
         if S % b == 0:
             return b
     return 0
@@ -98,14 +110,15 @@ def _seq_tile(S: int) -> int:
 
 def decode_attn_supported(S: int, kv_heads: int, head_dim: int,
                           batch: int) -> bool:
-    """Static gate: S must carry a multiple-of-32 divisor <=256 (any
-    64-multiple qualifies; quantized caches are allocated as 64-multiples
-    everywhere in this repo for exactly this reason) and head_dim one lane
-    register. No batch bound: the v2 kernel's effective bandwidth scales
-    monotonically (273/413/473/507 GiB/s at B=8/16/24/32 S=672,
+    """Static gate: S must carry a multiple-of-32 divisor (any 64-multiple
+    qualifies; quantized caches are allocated as 64-multiples everywhere in
+    this repo for exactly this reason) and head_dim one lane register. No
+    batch bound: the v2 kernel's effective bandwidth scales monotonically
+    (273/413/473/507 GiB/s at B=8/16/24/32 S=672,
     tools/bench_attn_forms.py) — the v1 B>=24 collapse was an artifact of
     its per-rep (n_rep*kvH, kvH*hd) accumulator traffic, gone in v2."""
-    return head_dim == 128 and _seq_tile(S) != 0 and _backend_on()
+    return head_dim == 128 and _seq_tile(S, kv_heads, head_dim) != 0 \
+        and _backend_on()
 
 
 def _kernel(q_ref, kq_ref, ksx_ref, vq_ref, vsx_ref, bias_ref,
@@ -173,7 +186,7 @@ def prepare_decode_attn_operands(k_s, v_s, mask):
 
 
 @partial(jax.jit, static_argnames=("num_heads", "sm_scale", "layer",
-                                   "interpret"))
+                                   "interpret", "seq_tile"))
 def decode_attn_quantcache(
     q: jnp.ndarray,        # (B, 1, H, hd) any float dtype
     k_q: jnp.ndarray,      # (L, B, S, kvH, hd) int8 — STEP-ENTRY cache
@@ -190,6 +203,7 @@ def decode_attn_quantcache(
     sm_scale: float,
     layer: int = 0,
     interpret: bool = False,
+    seq_tile: int = 0,
 ) -> jnp.ndarray:
     """Single-token attention against the int8 cache; returns (B, 1, H*hd)
     in q's dtype. HBM traffic: the int8 cache once, nothing widened.
@@ -201,7 +215,8 @@ def decode_attn_quantcache(
     L, B, S, kvH, hd = k_q.shape
     H = num_heads
     n_rep = H // kvH
-    Sb = _seq_tile(S)
+    Sb = seq_tile or _seq_tile(S, kvH, hd)
+    assert S % Sb == 0 and Sb % 32 == 0, (S, Sb)
     n_steps = S // Sb
     qh = q[:, 0].astype(jnp.bfloat16)                    # (B, H, hd)
     li = layer

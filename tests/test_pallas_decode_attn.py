@@ -144,6 +144,13 @@ def test_supported_gate(monkeypatch):
     assert _seq_tile(640) == 160                  # largest 32-mult divisor
     assert _seq_tile(100) == 0                    # 100 itself is off-grid
     assert _seq_tile(512) == 256
+    # kvH-aware byte-target cap (round 4): GQA's small kv-head counts get
+    # proportionally longer token tiles so the per-grid-step DMA stays
+    # ~2 MB (Qwen2-VL kvH=4: whole 704-slot sequence in one step)
+    assert _seq_tile(704, 32) == 64               # LLaVA: old cap holds
+    assert _seq_tile(704, 4) == 704
+    assert _seq_tile(832, 4) == 832
+    assert _seq_tile(4096, 4) == 2048             # hard cap at 2048 tokens
 
 
 def test_decode_step_routes_through_kernel(monkeypatch):
