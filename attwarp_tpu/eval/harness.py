@@ -20,6 +20,7 @@ import os
 import time
 from typing import Dict, List, Optional
 
+import jax
 import numpy as np
 from PIL import Image
 
@@ -93,6 +94,43 @@ class EngineAnswerBackend:
         self.engine = None
         self._engine_dead = False
 
+    def _fit_slots(self, max_seq: int, kv_quant: bool) -> int:
+        """HBM-aware slot cap. The runbook's first 7B dry-run OOM'd here:
+        32 requested slots at image-prompt max_seq (~768) cost ~6.7 GiB of
+        int8 KV cache beside ~8 GiB of int8-weights+embeds — past a v5e's
+        16 GiB once prefill workspace lands. Size the cache to the budget
+        that is actually left instead of trusting the caller's slot count:
+        budget = device HBM (memory_stats when the backend reports it,
+        16 GiB v5e default) - weights - 2 GiB prefill/compile workspace."""
+        t = self.backend.model.cfg.text
+        per_tok = 2 * t.num_hidden_layers * t.kv_heads * t.head_dim
+        per_slot = per_tok * max_seq * ((1 + 4 / t.head_dim) if kv_quant else 2)
+        weights = sum(
+            x.size * x.dtype.itemsize
+            for x in jax.tree_util.tree_leaves(self.backend.model.params))
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            hbm = stats.get("bytes_limit", 0)
+        except Exception:
+            hbm = 0
+        if not hbm or jax.default_backend() == "cpu":
+            # CPU mesh (tests) has no real limit; TPU default: v5e 16 GiB
+            # (the axon relay's memory_stats() returns {} — measured)
+            hbm = (1 << 62) if jax.default_backend() == "cpu" else 16 * 2**30
+        # the batched admission's returned KV block sits beside the slot
+        # cache at its peak (4 × 712-token int8 block at 7B ≈ 0.7 GiB) —
+        # that transient plus compile workspace is what tipped the first
+        # dry-run over at 32 slots × 188 MiB beside 7.9 GiB of weights
+        admit_block = 4 * max_seq * per_tok * (1 if kv_quant else 2)
+        budget = int(hbm * 0.92) - weights - admit_block - 3 * 2**29
+        fit = max(1, int(budget // per_slot))
+        if fit < self.slots:
+            print(f"EngineAnswerBackend: reducing slots {self.slots} -> "
+                  f"{fit} (per-slot cache {per_slot / 2**20:.0f} MiB at "
+                  f"max_seq={max_seq}, weights {weights / 2**30:.1f} GiB, "
+                  f"HBM {hbm / 2**30:.0f} GiB)")
+        return min(self.slots, fit)
+
     def _ensure_engine(self, prompt_lens: List[int], mnt: int) -> None:
         if self.engine is not None or self._engine_dead or not prompt_lens:
             return
@@ -109,9 +147,10 @@ class EngineAnswerBackend:
             cap = (-(-(n_img + 192) // 64) * 64
                    + self.max_new_tokens + self.steps_per_tick + 64)
             max_seq = min(max_bucketed + mnt + self.steps_per_tick, cap)
+        kv_quant = bool(getattr(backend, "kv_quant", False))
         self.engine = ServeEngine(
-            backend.model, slots=self.slots, max_seq=max_seq,
-            kv_quant=bool(getattr(backend, "kv_quant", False)),
+            backend.model, slots=self._fit_slots(max_seq, kv_quant),
+            max_seq=max_seq, kv_quant=kv_quant,
             steps_per_tick=self.steps_per_tick,
             use_flash=bool(getattr(backend, "use_flash", False)),
         )
@@ -120,9 +159,20 @@ class EngineAnswerBackend:
         """Failure recovery: drop the engine AND its KV cache (at 7B the
         dense 16-slot cache is ~6 GiB of HBM — keeping it alive is what
         made every post-failure fallback OOM too), then answer through the
-        backend's plain batched decode from here on."""
+        backend's plain batched decode from here on. jax.clear_caches()
+        drops the engine's compiled executables as well — a big jitted
+        program pins device workspace, and the runbook's first dry-run
+        showed the fallbacks STILL OOMing after the cache arrays were
+        freed."""
+        import gc
+
         self._engine_dead = True
         self.engine = None
+        gc.collect()
+        try:
+            jax.clear_caches()
+        except Exception:
+            pass
 
     def _decode(self, toks) -> str:
         if toks and toks[-1] == self.backend.model.cfg.eos_token_id:

@@ -46,7 +46,14 @@ def _load_reference_normalizer():
     start = src.index("contractions = {")
     end = src.index("def get_acc")
     ns = {"re": re}
-    exec(src[start:end], ns)  # noqa: S102 — test-only oracle from snapshot
+    # The snapshot uses bare "\d" regex escapes which are SyntaxWarnings on
+    # py3.12 — suppress them at compile time (44 per run otherwise).
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SyntaxWarning)
+        code = compile(src[start:end], REF, "exec")
+    exec(code, ns)  # noqa: S102 — test-only oracle from snapshot
     return ns["process_text"]
 
 

@@ -60,6 +60,28 @@ PROC="$WORK/processed"
 EVAL="$WORK/eval"
 log() { echo "[run_textvqa_7b $(date +%H:%M:%S)] $*"; }
 
+# ── 0. weights availability: the same invocation runs unmodified the day
+#       a checkpoint lands — if no ported checkpoint exists and the HF hub
+#       is unreachable (this build env has zero egress), fall back to the
+#       dry-run inputs loudly instead of failing 20 minutes in. ──────────
+if [[ "$DRY" == 0 && ! -f "$CKPT/config.json" ]]; then
+  if ! python - "$HF_ID" <<'EOF'
+import socket, sys, urllib.request
+socket.setdefaulttimeout(8)
+try:
+    urllib.request.urlopen("https://huggingface.co/api/models/" + sys.argv[1])
+except Exception:
+    sys.exit(1)
+EOF
+  then
+    log "NOTE: $HF_ID is unreachable and no ported checkpoint exists at"
+    log "      $CKPT — falling back to --dry-run (random 7B-shape weights +"
+    log "      synthetic code-tag set). Re-run with network (or a ported"
+    log "      checkpoint in place) for the real-weights run."
+    DRY=1
+  fi
+fi
+
 # ── 1. checkpoint: HF port (real) or random 7B shape (dry run) ──────────
 if [[ ! -f "$CKPT/config.json" ]]; then
   if [[ "$DRY" == 1 ]]; then
