@@ -1,0 +1,314 @@
+"""Per-term profile of one int8+kv8 decode step (VERDICT r3 item 1).
+
+The decode benches measure the FULL step (tools/bench_decode.py,
+tools/bench_qwen_decode.py); this tool decomposes it into independently
+timed micro-programs so the gap between the measured step and its HBM
+floor is attributed to named terms instead of asserted:
+
+  full        the real decode step (baseline; matches the bench tools)
+  kernel      the Pallas flash-decoding cache read: L chained
+              decode_attn_quantcache calls + the per-step operand prep
+              (prepare_decode_attn_operands) + the batched append —
+              everything that touches the KV cache
+  linears     the L transformer layers with attention replaced by identity:
+              weight stream + activation quant/dequant + norms + rope
+  lm_head     the final-norm + logits matmul (dense f32-upcast form), the
+              argmax, and the next-token embedding lookup
+  lm_head_i8  same with an int8-quantized head (the '+lm8' path)
+  full_lm8    the real decode step with the int8 head
+
+Each variant is a chained unrolled loop inside ONE jit with a true data
+dependency (CLAUDE.md: the relay returns early for sub-100 ms programs and
+adds ~30 ms per fetch), donated cache where the variant owns one.
+
+Run:  PYTHONPATH=.:$PYTHONPATH python tools/profile_decode_terms.py \
+          [--family qwen|llava] [--batch 64] [--steps 16]
+"""
+
+import argparse
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tools.bench_utils  # noqa: F401  (persistent compile cache config)
+from attwarp_tpu.models.llama import init_quant_kv_cache, rms_norm
+from attwarp_tpu.numerics.quant import (
+    apply_linear,
+    lm_logits,
+    quantize_kv,
+    quantize_lm_head,
+)
+from attwarp_tpu.ops.pallas_decode_attn import (
+    decode_attn_quantcache,
+    prepare_decode_attn_operands,
+)
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--family", choices=("qwen", "llava"), default="qwen")
+ap.add_argument("--batch", type=int, default=0)
+ap.add_argument("--steps", type=int, default=16)
+ap.add_argument("--out", default="")
+args = ap.parse_args()
+
+if args.family == "qwen":
+    from attwarp_tpu.models.qwen2vl import (
+        Qwen2VLTextConfig,
+        mrope_cos_sin,
+        qwen2vl_decode_step,
+    )
+
+    cfg = Qwen2VLTextConfig()          # 28 layers, 3584, 28h/4kv, 152k vocab
+    B = args.batch or 64
+else:
+    from attwarp_tpu.models.llama import (
+        LlamaConfig,
+        llama_decode_step,
+    )
+
+    cfg = LlamaConfig()                # 32 layers, 4096, 32h/32kv, 32k vocab
+    B = args.batch or 32
+
+T_CTX = 640
+STEPS = args.steps
+MAX_SEQ = -(-(T_CTX + STEPS) // 64) * 64
+key = jax.random.PRNGKey(0)
+
+
+def kshape():
+    global key
+    key, k = jax.random.split(key)
+    return k
+
+
+def lin(o, i):
+    q = jax.random.randint(kshape(), (o, i), -127, 128, dtype=jnp.int8)
+    s = jax.random.uniform(kshape(), (o,), jnp.float32, 0.5, 1.5) / (
+        127 * np.sqrt(i))
+    return {"q": q, "s": s}
+
+
+def wb(o, i):
+    w = lin(o, i)
+    if args.family == "qwen":
+        return w | {"b": jnp.zeros((o,), jnp.float32)}
+    return w
+
+
+D, I = cfg.hidden_size, cfg.intermediate_size
+H, kvH, hd = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
+L = cfg.num_hidden_layers
+layers = []
+for _ in range(L):
+    layers.append({
+        "q_proj": wb(H * hd, D), "k_proj": wb(kvH * hd, D),
+        "v_proj": wb(kvH * hd, D),
+        "o_proj": lin(D, H * hd), "gate_proj": lin(I, D),
+        "up_proj": lin(I, D), "down_proj": lin(D, I),
+        "input_layernorm": jnp.ones((D,), jnp.bfloat16),
+        "post_attention_layernorm": jnp.ones((D,), jnp.bfloat16),
+    })
+params = {
+    "embed_tokens": jax.random.normal(
+        kshape(), (cfg.vocab_size, D), jnp.bfloat16) * 0.02,
+    "lm_head": jax.random.normal(
+        kshape(), (cfg.vocab_size, D), jnp.bfloat16) * 0.02,
+    "norm": jnp.ones((D,), jnp.bfloat16),
+    "layers": layers,
+}
+params_lm8 = dict(params) | {"lm_head": quantize_lm_head(params)["lm_head"]}
+
+kv0 = init_quant_kv_cache(cfg, B, MAX_SEQ)
+kv_mask = (jnp.arange(MAX_SEQ)[None, :] < T_CTX + 1).repeat(B, 0)
+emb0 = jax.random.normal(kshape(), (B, 1, D), jnp.bfloat16) * 0.1
+if args.family == "qwen":
+    pos3 = jnp.broadcast_to(jnp.full((B, 1), T_CTX)[None], (3, B, 1))
+    cos1, sin1 = mrope_cos_sin(pos3, cfg)
+
+
+def fresh_kv():
+    return init_quant_kv_cache(cfg, B, MAX_SEQ)
+
+
+KV_SENTINEL = object()
+
+
+def time_it(fn, *arrays, donate=()):
+    f = jax.jit(fn, donate_argnums=donate)
+
+    def args_now():
+        return [fresh_kv() if a is KV_SENTINEL else a for a in arrays]
+
+    out = f(*args_now())
+    jax.block_until_ready(out)
+    del out
+    best = float("inf")
+    for _ in range(3):
+        arrs = args_now()
+        t0 = time.perf_counter()
+        out = f(*arrs)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        best = min(best, time.perf_counter() - t0)
+        del out
+    return best / STEPS * 1e3
+
+results = {}
+
+# ── full step ────────────────────────────────────────────────────────────
+
+
+def step(p, emb, kv):
+    if args.family == "qwen":
+        return qwen2vl_decode_step(
+            p, cfg, emb, kv, jnp.int32(T_CTX), cos1, sin1, kv_mask)
+    pos = jnp.full((B,), T_CTX, jnp.int32)
+    return llama_decode_step(
+        p, cfg, emb, kv, jnp.int32(T_CTX), pos, kv_mask)
+
+
+def full(p, emb, kv):
+    probe = jnp.float32(0)
+    for _ in range(STEPS):
+        logits, kv, _ = step(p, emb, kv)
+        nxt = jnp.argmax(logits, axis=-1)
+        emb = p["embed_tokens"][nxt][:, None, :]
+        probe = probe + logits[0, 0]
+    return emb[0, 0, 0] + probe, kv
+
+
+def timed_full(p):
+    f = jax.jit(partial(full), donate_argnums=(2,))
+    out, kv = f(p, emb0, fresh_kv())
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out, kv = f(p, emb0, fresh_kv())
+        jax.device_get(out)
+        best = min(best, time.perf_counter() - t0)
+    return best / STEPS * 1e3
+
+
+results["full"] = timed_full(params)
+results["full_lm8"] = timed_full(params_lm8)
+
+# ── cache term: prep + L kernel calls + batched append ──────────────────
+sm = 1.0 / float(np.sqrt(hd))
+k1q = jax.random.randint(kshape(), (B, 1, kvH, hd), -127, 128, dtype=jnp.int8)
+k1s = jnp.ones((B, 1, kvH), jnp.float32) * 0.01
+
+
+def kernel_prog(kv, q0):
+    probe = q0
+    for _ in range(STEPS):
+        strict = kv_mask & (jnp.arange(MAX_SEQ)[None, :] != T_CTX)
+        ksx, vsx, bias = prepare_decode_attn_operands(kv.k_s, kv.v_s, strict)
+        q = probe
+        appends = []
+        for i in range(L):
+            out = decode_attn_quantcache(
+                q, kv.k_q, ksx, kv.v_q, vsx, bias,
+                k1q, k1s, k1q, k1s,
+                num_heads=H, sm_scale=sm, layer=i)
+            q = out.reshape(B, 1, H, hd).astype(jnp.bfloat16)
+            appends.append((k1q[:, 0], k1s[:, 0]))
+        upd = jnp.stack([a for a, _ in appends])
+        upds = jnp.stack([s for _, s in appends])
+        from attwarp_tpu.models.llama import QuantKVCache
+
+        def app(c, u):
+            zeros = (0,) * (c.ndim - 3)
+            return jax.lax.dynamic_update_slice(
+                c, u[:, :, None], (0, 0, T_CTX, *zeros))
+
+        kv = QuantKVCache(app(kv.k_q, upd), app(kv.k_s, upds),
+                          app(kv.v_q, upd), app(kv.v_s, upds))
+        probe = q
+    return probe[0, 0, 0, 0], kv
+
+
+q0 = jax.random.normal(kshape(), (B, 1, H, hd), jnp.bfloat16)
+results["kernel+prep+append"] = time_it(
+    kernel_prog, KV_SENTINEL, q0, donate=(0,))
+
+# prep alone (chained by feeding a reduced scalar back into the mask? the
+# scales are static -> chain via adding the previous result's first element)
+
+
+def prep_prog(ks, vs):
+    probe = jnp.float32(0)
+    for _ in range(STEPS):
+        strict = kv_mask & (jnp.arange(MAX_SEQ)[None, :] != T_CTX)
+        ksx, vsx, bias = prepare_decode_attn_operands(
+            ks + probe * 0, vs, strict)
+        probe = probe + ksx[0, 0, 0, 0] + vsx[0, 0, 0, 0] + bias[0, 0, 0]
+    return probe
+
+
+results["prep_only"] = time_it(prep_prog, kv0.k_s, kv0.v_s)
+
+# ── linears term: the L layers with attention = identity ────────────────
+
+
+def linears_prog(p, emb):
+    x = emb
+    probe = jnp.float32(0)
+    for _ in range(STEPS):
+        for lp in p["layers"]:
+            h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+            qv = apply_linear(h, lp["q_proj"])
+            kx = apply_linear(h, lp["k_proj"])
+            vx = apply_linear(h, lp["v_proj"])
+            # the real step quantizes the new token's K/V per layer — keep
+            # that cost in, and its outputs live via the probe
+            kq, ks = quantize_kv(kx.reshape(B, 1, kvH, hd))
+            vq, vs = quantize_kv(vx.reshape(B, 1, kvH, hd))
+            probe = probe + ks.sum() + vs.sum() + (
+                kq[0, 0, 0, 0] + vq[0, 0, 0, 0]).astype(jnp.float32)
+            x = x + apply_linear(qv, lp["o_proj"])   # identity attention
+            h2 = rms_norm(x, lp["post_attention_layernorm"],
+                          cfg.rms_norm_eps)
+            x = x + apply_linear(
+                jax.nn.silu(apply_linear(h2, lp["gate_proj"]))
+                * apply_linear(h2, lp["up_proj"]), lp["down_proj"])
+        x = x * 0.5
+    return x[0, 0, 0] + probe
+
+
+results["linears_only"] = time_it(linears_prog, params, emb0)
+
+# ── lm_head term: norm + logits + argmax + embed ─────────────────────────
+
+
+def lm_prog(p, emb):
+    x = emb
+    for _ in range(STEPS):
+        xn = rms_norm(x, p["norm"], cfg.rms_norm_eps)
+        logits = lm_logits(xn[:, 0], p)
+        nxt = jnp.argmax(logits, axis=-1)
+        x = p["embed_tokens"][nxt][:, None, :]
+    return x[0, 0, 0]
+
+
+results["lm_head_dense"] = time_it(lm_prog, params, emb0)
+results["lm_head_int8"] = time_it(lm_prog, params_lm8, emb0)
+
+# ── report ───────────────────────────────────────────────────────────────
+attr = (results["kernel+prep+append"] + results["linears_only"]
+        + results["lm_head_dense"])
+report = {
+    "family": args.family, "batch": B, "steps": STEPS,
+    "ctx": T_CTX, "max_seq": MAX_SEQ,
+    "ms_per_step": {k: round(v, 3) for k, v in results.items()},
+    "attributed_ms": round(attr, 3),
+    "residual_ms_full_minus_attributed": round(results["full"] - attr, 3),
+    "lm8_full_step_saving_ms": round(
+        results["full"] - results["full_lm8"], 3),
+}
+print(json.dumps(report, indent=2))
+if args.out:
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)

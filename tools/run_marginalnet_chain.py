@@ -162,18 +162,49 @@ def main(argv=None) -> int:
     print(f"[chain] learned-warped {len(eval_meta)} eval images")
 
     # ── 5. score through the real harness ───────────────────────────────
-    eval_out = os.path.join(wd, "eval_out")
-    rc = evaluate_cli.main([
-        "--metadata-dir", meta_dir, "--output-dir", eval_out,
-        "--model", "reader", "--score-original", "--batch-size", "8",
-    ])
-    assert rc in (0, None), rc
-    finals = sorted(
-        f for f in os.listdir(eval_out)
-        if f.startswith("textvqa_accuracy_") and f.endswith(".json")
-        and "interim" not in f
-    )
-    final = json.load(open(os.path.join(eval_out, finals[-1])))
+    def score(meta_path, out_dir):
+        rc = evaluate_cli.main([
+            "--metadata-dir", meta_path, "--output-dir", out_dir,
+            "--model", "reader", "--score-original", "--batch-size", "8",
+        ])
+        assert rc in (0, None), rc
+        finals = sorted(
+            f for f in os.listdir(out_dir)
+            if f.startswith("textvqa_accuracy_") and f.endswith(".json")
+            and "interim" not in f
+        )
+        return json.load(open(os.path.join(out_dir, finals[-1])))
+
+    final = score(meta_dir, os.path.join(wd, "eval_out"))
+
+    # ── 5b. oracle path on the SAME eval set, at the driver's actual
+    # input contract (VERDICT r3 item 8): the production driver warps from
+    # the image-res MOTA mask (main.py:500-533 semantics), not from the
+    # learned 24-bin profiles — run the real driver on the eval set and
+    # score it with the same harness, so learned-vs-oracle compares at
+    # identical data and identical (image-res-mask) warp semantics. The
+    # learned TRAINING targets already come from that same mask
+    # (MetadataDirDataset attention_key="mota"); the remaining 24x24-ness
+    # of the learned path is MarginalNet's own output contract (24-bin
+    # profiles right-inverse-upsampled to image res, reference trainer.py
+    # :197,217-256), identical between training and inference.
+    proc_eval = os.path.join(wd, "processed_eval")
+    if not os.path.isdir(os.path.join(proc_eval, "metadata")) or not os.listdir(
+            os.path.join(proc_eval, "metadata")):
+        rc = process_cli.main([
+            "--textvqa-json", eval_json, "--image-dir", eval_imgs,
+            "--output-dir", proc_eval, "--backend", "reader",
+            "--batch-size", "8",
+        ])
+        assert rc in (0, None), rc
+    oracle = score(os.path.join(proc_eval, "metadata"),
+                   os.path.join(wd, "eval_out_oracle"))
+    final["oracle_same_eval_set"] = {
+        "overall_warped_accuracy": oracle["overall_warped_accuracy"],
+        "overall_original_accuracy": oracle.get("overall_original_accuracy"),
+        "accuracy_gain": oracle.get("accuracy_gain"),
+        "path": "driver image-res MOTA-mask warp (production contract)",
+    }
 
     # ── 6. commit-ready artifact ────────────────────────────────────────
     final["model"] = "marginalnet+reader"
