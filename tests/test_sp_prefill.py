@@ -56,7 +56,15 @@ def _mesh(n):
     return Mesh(np.asarray(jax.devices()[:n]), ("sp",))
 
 
-@pytest.mark.parametrize("n", [2, 4, 8])
+# Ring-attention shard_map programs compile slowly on the single-core CPU
+# host (minutes per variant), so the default suite keeps ONE representative
+# parity compile (n=2) and marks the rest `slow` (full suite: `-m ""`).
+@pytest.mark.parametrize(
+    "n",
+    [2,
+     pytest.param(4, marks=pytest.mark.slow),
+     pytest.param(8, marks=pytest.mark.slow)],
+)
 def test_sp_matches_dense_no_padding(tiny, rng, n):
     cfg, params = tiny
     T, B = 16, 2
@@ -76,6 +84,7 @@ def test_sp_matches_dense_no_padding(tiny, rng, n):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sp_matches_dense_left_padding(tiny, rng):
     cfg, params = tiny
     T, B = 16, 3
@@ -103,6 +112,7 @@ def test_sp_matches_dense_left_padding(tiny, rng):
         rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sp_multilayer_extract_and_no_extract(tiny, rng):
     cfg, params = tiny
     T, B = 8, 2
@@ -130,6 +140,7 @@ def test_sp_rejects_indivisible_length(tiny, rng):
                    axis="sp")
 
 
+@pytest.mark.slow
 def test_sp_decode_continues_from_cache(tiny, rng):
     """The sp cache is consumed by the existing decode step unchanged."""
     from attwarp_tpu.models.llama import llama_decode_step
@@ -215,6 +226,7 @@ def _mrope_tables(cfg, mask, rng):
     return mrope_cos_sin(jnp.asarray(pos), cfg)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [2, 4])
 def test_sp_qwen_matches_dense(tiny_qwen, rng, n):
     from attwarp_tpu.models.qwen2vl import qwen2vl_prefill
@@ -240,6 +252,7 @@ def test_sp_qwen_matches_dense(tiny_qwen, rng, n):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sp_qwen_left_padding_and_decode(tiny_qwen, rng):
     from attwarp_tpu.models.qwen2vl import qwen2vl_decode_step, qwen2vl_prefill
     from attwarp_tpu.parallel.sp_prefill import sp_prefill_qwen
@@ -299,6 +312,7 @@ def test_sp_rejects_too_small_max_seq(tiny, rng):
                    axis="sp", max_seq=8)
 
 
+@pytest.mark.slow
 def test_sp_kv_quant_matches_dense_quant(tiny, rng):
     """kv_quant=True returns a QuantKVCache identical to quantizing the
     dense prefill's cache: per-(token, head) scales never cross a shard
@@ -323,6 +337,7 @@ def test_sp_kv_quant_matches_dense_quant(tiny, rng):
     np.testing.assert_allclose(deq_s[:, :, :T], deq_d[:, :, :T], atol=1e-3)
 
 
+@pytest.mark.slow
 def test_sp_qwen_kv_quant_decodes(tiny_qwen, rng):
     """Qwen kv_quant cache feeds qwen2vl_decode_step like the dense-path
     QuantKVCache (serving drop-in; advisor finding, round 3)."""
@@ -358,6 +373,7 @@ def test_sp_qwen_kv_quant_decodes(tiny_qwen, rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sp_composes_with_int8_weights(tiny, rng):
     """w8a8 decoder linears ride through the ring unchanged: activation
     quantization is per-token (last axis), so sharding the sequence dim

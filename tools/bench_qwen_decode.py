@@ -27,6 +27,8 @@ from attwarp_tpu.models.qwen2vl import (
 )
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "int8+kv8"
+LM8 = "+lm8" in MODE          # int8 LM head (numerics/quant.py::lm_logits)
+MODE = MODE.replace("+lm8", "")
 KV8 = MODE.endswith("+kv8")
 if KV8:
     MODE = MODE[: -len("+kv8")]
@@ -80,8 +82,12 @@ params = {
     "norm": jnp.ones((D,), jnp.bfloat16),
     "layers": layers,
 }
+if LM8:
+    from attwarp_tpu.numerics.quant import quantize_lm_head
+
+    params = quantize_lm_head(params)
 nbytes = sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params))
-print(f"params: {nbytes/2**30:.2f} GiB ({MODE})")
+print(f"params: {nbytes/2**30:.2f} GiB ({MODE}{'+lm8' if LM8 else ''})")
 
 if KV8:
     kv = init_quant_kv_cache(cfg, B, MAX_SEQ)
@@ -120,6 +126,6 @@ for _ in range(3):
     times.append(time.perf_counter() - t0)
 best = min(times)
 per_step = best / STEPS * 1e3
-label = MODE + ("+kv8" if KV8 else "")
+label = MODE + ("+kv8" if KV8 else "") + ("+lm8" if LM8 else "")
 print(f"{label}: {best*1e3:.1f} ms for {STEPS} steps -> "
       f"{per_step:.2f} ms/step ({B/per_step*1e3:.1f} tok/s at B={B})")
