@@ -21,6 +21,7 @@ import time
 from typing import Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
@@ -101,8 +102,12 @@ class EngineAnswerBackend:
         16 GiB once prefill workspace lands. Size the cache to the budget
         that is actually left instead of trusting the caller's slot count:
         budget = device HBM (memory_stats when the backend reports it,
-        16 GiB v5e default) - weights - 2 GiB prefill/compile workspace."""
+        16 GiB v5e default) - weights - prefill/compile workspace."""
         t = self.backend.model.cfg.text
+        if kv_quant:
+            # ServeEngine rounds the slot cache up to a 64-multiple for the
+            # flash-decoding kernel's seq-tile gate — size what it builds
+            max_seq = -(-max_seq // 64) * 64
         per_tok = 2 * t.num_hidden_layers * t.kv_heads * t.head_dim
         per_slot = per_tok * max_seq * ((1 + 4 / t.head_dim) if kv_quant else 2)
         weights = sum(
@@ -122,7 +127,11 @@ class EngineAnswerBackend:
         # that transient plus compile workspace is what tipped the first
         # dry-run over at 32 slots × 188 MiB beside 7.9 GiB of weights
         admit_block = 4 * max_seq * per_tok * (1 if kv_quant else 2)
-        budget = int(hbm * 0.92) - weights - admit_block - 3 * 2**29
+        # 3 GiB reserve: the second runbook dry-run still OOM'd with a
+        # 1.5 GiB reserve at 30 slots (the admission prefill's executable +
+        # activations + relay-side allocator slack are not visible from
+        # here) — measured, not theoretical
+        budget = int(hbm * 0.90) - weights - admit_block - 3 * 2**30
         fit = max(1, int(budget // per_slot))
         if fit < self.slots:
             print(f"EngineAnswerBackend: reducing slots {self.slots} -> "
@@ -155,22 +164,32 @@ class EngineAnswerBackend:
             use_flash=bool(getattr(backend, "use_flash", False)),
         )
 
-    def _retire_engine(self) -> None:
+    def _retire_engine(self, dead: bool = True) -> None:
         """Failure recovery: drop the engine AND its KV cache (at 7B the
         dense 16-slot cache is ~6 GiB of HBM — keeping it alive is what
-        made every post-failure fallback OOM too), then answer through the
-        backend's plain batched decode from here on. jax.clear_caches()
+        made every post-failure fallback OOM too). jax.clear_caches()
         drops the engine's compiled executables as well — a big jitted
         program pins device workspace, and the runbook's first dry-run
         showed the fallbacks STILL OOMing after the cache arrays were
-        freed."""
+        freed. MUST be called OUTSIDE any ``except`` block holding the
+        engine failure: the live exception's traceback references
+        ``engine.run``'s frames, which pin the engine (and its cache)
+        through any gc.collect() made before the block exits — the second
+        dry-run's post-retirement OOM cascade. ``dead=False`` keeps the
+        engine path eligible for a rebuild (at a reduced slot count)."""
         import gc
 
-        self._engine_dead = True
+        self._engine_dead = dead
         self.engine = None
         gc.collect()
         try:
             jax.clear_caches()
+        except Exception:
+            pass
+        try:
+            # one tiny round-trip so the relay processes the queued buffer
+            # deletes before the fallback path allocates
+            jax.device_get(jnp.zeros((), jnp.float32) + 0)
         except Exception:
             pass
 
@@ -207,30 +226,51 @@ class EngineAnswerBackend:
         if self.engine is None:       # engine retired (or nothing to size)
             overflow_idx = list(range(len(images)))
         else:
-            try:
-                for i, (im, ids) in enumerate(zip(images, ids_all)):
-                    if not self._fits(ids, mnt):
-                        overflow_idx.append(i)
-                        continue
-                    px = self.backend._preprocess(
-                        _resize_for_backend(im, self.backend.image_size)
-                    )
-                    rids.append(
-                        self.engine.submit(ids, px, max_new_tokens=mnt))
-                    engine_idx.append(i)
-                results = self.engine.run()
-            except Exception as e:
-                # a failed engine (e.g. HBM exhaustion at an unlucky slot
-                # count) must not poison the rest of the eval: retire it —
-                # freeing its multi-GiB KV cache, which would otherwise
-                # OOM every subsequent fallback too — and answer this and
-                # all future chunks through the plain batched decode
-                print(f"ServeEngine failed ({e}); retiring the engine and "
-                      "answering via the batched decode path.")
-                self._retire_engine()
+            # up to two engine attempts per chunk: a failed engine (HBM
+            # exhaustion at an unlucky slot count) retires — freeing its
+            # multi-GiB KV cache, which would otherwise OOM every
+            # subsequent fallback too — and is rebuilt ONCE at half the
+            # slots before the chunk (and all future ones) falls back to
+            # the plain batched decode. The retire/rebuild happens OUTSIDE
+            # the except block: the live traceback pins engine.run's
+            # frames, so gc inside the block cannot free the cache.
+            for attempt in range(2):
+                failed = None
+                try:
+                    rids, engine_idx, overflow_idx = [], [], []
+                    for i, (im, ids) in enumerate(zip(images, ids_all)):
+                        if not self._fits(ids, mnt):
+                            overflow_idx.append(i)
+                            continue
+                        px = self.backend._preprocess(
+                            _resize_for_backend(im, self.backend.image_size)
+                        )
+                        rids.append(
+                            self.engine.submit(ids, px, max_new_tokens=mnt))
+                        engine_idx.append(i)
+                    results = self.engine.run()
+                    break
+                except Exception as e:
+                    failed = str(e)   # string only: keeping the exception
+                    #                   object keeps its traceback's frames
+                half = max(1, self.engine.slots // 2)
                 rids, engine_idx = [], []
-                overflow_idx = list(range(len(images)))
                 results = {}
+                if attempt == 0 and half >= 4:
+                    print(f"ServeEngine failed ({failed}); rebuilding at "
+                          f"{half} slots (was {self.engine.slots}).")
+                    self._retire_engine(dead=False)
+                    self.slots = half
+                    self._ensure_engine([len(x) for x in ids_all], mnt)
+                    if self.engine is not None:
+                        continue
+                    overflow_idx = list(range(len(images)))
+                    break
+                print(f"ServeEngine failed ({failed}); retiring the engine "
+                      "and answering via the batched decode path.")
+                self._retire_engine()
+                overflow_idx = list(range(len(images)))
+                break
         for i, r in zip(engine_idx, rids):
             answers[i] = self._decode(results[r])
         if overflow_idx:

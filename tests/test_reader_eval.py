@@ -247,3 +247,25 @@ def test_engine_answer_backend_lazy_sizing_and_retirement(rng):
     assert eng.engine is None and eng._engine_dead
     assert eng.answer_many(imgs, qs, 4) == ref     # stays on the batch path
     assert eng.answer(imgs[0], qs[0], 4) == ref[0]
+
+    # halve-and-retry: at >= 8 slots a single failure rebuilds the engine
+    # at half the slots (an OOM at an unlucky slot count usually fits at
+    # half) and the SAME chunk still answers through the engine path
+    eng2 = EngineAnswerBackend(be, slots=8, max_new_tokens=4,
+                               steps_per_tick=2)
+    calls = {"n": 0}
+
+    def boom_once(self):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("injected engine failure")
+        return real(self)
+
+    ServeEngine.run = boom_once
+    try:
+        assert eng2.answer_many(imgs, qs, 4) == ref
+    finally:
+        ServeEngine.run = real
+    assert eng2.engine is not None and not eng2._engine_dead
+    assert eng2.engine.slots == 4 and eng2.slots == 4
+    assert eng2.answer_many(imgs, qs, 4) == ref    # stays on the engine
