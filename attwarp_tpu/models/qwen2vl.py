@@ -396,11 +396,12 @@ def qwen2vl_decode_step(
         )
 
     # form ladder mirrors llama_decode_step (B static at trace time):
-    # supported shapes at B<=16 take the Pallas flash-decoding kernel —
-    # stale step-entry reads, current token merged outside, ONE batched
-    # append at the end (GQA n_rep=7 at the real 7B geometry is just the
-    # kernel's head-group selection mask); B>=16 falls back to the
-    # scale-factored XLA form, smaller batches to fused dequant.
+    # supported shapes take the Pallas flash-decoding kernel at ANY batch
+    # (the v2 kernel's bandwidth scales monotonically with B) — stale
+    # step-entry reads, current token merged outside, ONE batched append
+    # at the end (GQA n_rep=7 at the real 7B geometry is just the kernel's
+    # head-group selection mask); unsupported shapes fall back to the
+    # scale-factored XLA form at B>=16, fused dequant below that.
     use_kernel = quant and decode_attn_supported(
         kv.k_q.shape[2], cfg.kv_heads, cfg.head_dim, B)
     if use_kernel:
