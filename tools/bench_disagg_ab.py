@@ -121,6 +121,16 @@ def main():
 
     model = build_model()
     d_mesh, p_mesh = split_meshes()
+    # BOTH sides run replicated over a 4-device group: on a time-sliced
+    # host, a replicated SPMD program executes once PER virtual device, so
+    # a single-device baseline would be ~4x faster by artifact alone and
+    # the A/B would measure the mesh, not the disagg machinery. With the
+    # single-group engine on the same 4-device decode mesh, the only
+    # difference left is what disagg adds: the second (prefill-group)
+    # weight copy, the cross-group KV device_put, and the split dispatch.
+    d_model = LlavaModel(model.cfg, jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(d_mesh, P())),
+        model.params))
     p_model = LlavaModel(model.cfg, jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(p_mesh, P())),
         model.params))
@@ -129,8 +139,8 @@ def main():
 
     def fresh(kind):
         if kind == "single":
-            return ServeEngine(model, **kw)
-        return DisaggServeEngine(model, prefill_model=p_model,
+            return ServeEngine(d_model, **kw)
+        return DisaggServeEngine(d_model, prefill_model=p_model,
                                  decode_mesh=d_mesh, prefill_mesh=p_mesh, **kw)
 
     rng = np.random.default_rng(7)
