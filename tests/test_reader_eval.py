@@ -6,6 +6,8 @@ reference pair `main.py` → `evaluate_accuracy.py:275-473` with the
 resolution-limited reader proxy standing in for the MLLM (no weights in this
 environment)."""
 
+import zlib
+
 import numpy as np
 
 from attwarp_tpu.testing.reader import (
@@ -133,7 +135,12 @@ def test_engine_answer_backend_matches_extraction(tmp_path, rng):
 
     class _WordTok:
         def __call__(self, text, add_special_tokens=False):
-            return {"input_ids": [3 + (hash(w) % 90) for w in text.split()]}
+            # deterministic word hash: builtin hash() is salted per process
+            # (PYTHONHASHSEED), and unlucky salts made the tiny random model
+            # greedily emit EOS first for one prompt — a legitimately empty
+            # answer that flaked the non-empty assertion below
+            return {"input_ids": [3 + (zlib.crc32(w.encode()) % 90)
+                                  for w in text.split()]}
 
         def decode(self, ids, skip_special_tokens=True):
             return " ".join(f"t{int(i)}" for i in ids)
@@ -212,7 +219,9 @@ def test_engine_answer_backend_lazy_sizing_and_retirement(rng):
 
     class _WordTok:
         def __call__(self, text, add_special_tokens=False):
-            return {"input_ids": [3 + (hash(w) % 90) for w in text.split()]}
+            # deterministic (see _WordTok above)
+            return {"input_ids": [3 + (zlib.crc32(w.encode()) % 90)
+                                  for w in text.split()]}
 
         def decode(self, ids, skip_special_tokens=True):
             return " ".join(f"t{int(i)}" for i in ids)
