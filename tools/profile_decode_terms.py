@@ -121,7 +121,10 @@ params = {
 }
 params_lm8 = dict(params) | {"lm_head": quantize_lm_head(params)["lm_head"]}
 
-kv0 = init_quant_kv_cache(cfg, B, MAX_SEQ)
+# NOTE: no cache is allocated here — at LLaVA geometry the B=32 int8 cache
+# is 5.67 GiB, and holding one through the whole run beside both param sets
+# OOM'd the `full` variant (two more caches live during its timing loop).
+# `prep_only` builds its scale operands at the END, after params are freed.
 kv_mask = (jnp.arange(MAX_SEQ)[None, :] < T_CTX + 1).repeat(B, 0)
 emb0 = jax.random.normal(kshape(), (B, 1, D), jnp.bfloat16) * 0.1
 if args.family == "qwen":
@@ -142,15 +145,21 @@ def time_it(fn, *arrays, donate=()):
     def args_now():
         return [fresh_kv() if a is KV_SENTINEL else a for a in arrays]
 
+    def fetch(out):
+        # scalar fetch: block_until_ready returns early through the relay
+        # for short programs (CLAUDE.md), under-measuring sub-100 ms terms
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(leaf.ravel()[0])
+
     out = f(*args_now())
-    jax.block_until_ready(out)
+    fetch(out)
     del out
     best = float("inf")
     for _ in range(3):
         arrs = args_now()
         t0 = time.perf_counter()
         out = f(*arrs)
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        fetch(out)
         best = min(best, time.perf_counter() - t0)
         del out
     return best / STEPS * 1e3
@@ -185,8 +194,16 @@ def timed_full(p):
     jax.block_until_ready(out)
     best = float("inf")
     for _ in range(3):
+        # drop the previous run's (donation-aliased) cache BEFORE allocating
+        # the next one: two live 5.67 GiB LLaVA B=32 caches beside the 6.5
+        # GiB params OOM'd; allocation also stays outside the timed region
+        # (zero-filling 5.67 GiB is ~7 ms of HBM writes).
+        out = kv = None
+        kv_in = fresh_kv()
+        # scalar fetch = the only true completion barrier through the relay
+        int(kv_in.k_q[(0,) * kv_in.k_q.ndim])
         t0 = time.perf_counter()
-        out, kv = f(p, emb0, fresh_kv())
+        out, kv = f(p, emb0, kv_in)
         jax.device_get(out)
         best = min(best, time.perf_counter() - t0)
     return best / STEPS * 1e3
@@ -302,7 +319,10 @@ del params, params_lm8, layers
 jax.clear_caches()
 results["kernel+prep+append"] = time_it(
     kernel_prog, KV_SENTINEL, q0, donate=(0,))
-results["prep_only"] = time_it(prep_prog, kv0.k_s, kv0.v_s)
+kv_tail = fresh_kv()
+ks_tail, vs_tail = kv_tail.k_s, kv_tail.v_s
+del kv_tail                       # keep only the scale planes for prep_only
+results["prep_only"] = time_it(prep_prog, ks_tail, vs_tail)
 
 # ── report ───────────────────────────────────────────────────────────────
 attr = (results["kernel+prep+append"] + results["linears_only"]

@@ -43,13 +43,20 @@ atts = jnp.asarray(rng.random((B, ATT, ATT)), jnp.float32)
 params = WarpParams()
 
 
+def _fetch(out):
+    # block_until_ready returns EARLY through the axon relay (CLAUDE.md);
+    # fetching one element is the only true completion barrier (bench.py).
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(leaf[(0,) * leaf.ndim])
+
+
 def timed(fn, *arrs):
     f = jax.jit(fn)
-    jax.block_until_ready(f(*arrs))
+    _fetch(f(*arrs))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(*arrs))
+        _fetch(f(*arrs))
         best = min(best, time.perf_counter() - t0)
     return best / ITERS / B * 1e6       # us per image
 
