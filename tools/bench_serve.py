@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import tools.bench_utils  # noqa: F401  (persistent compile cache config)
 from attwarp_tpu.models.clip_vit import ClipVisionConfig
 from attwarp_tpu.models.llama import LlamaConfig
 from attwarp_tpu.models.llava import LlavaConfig, LlavaModel
