@@ -55,6 +55,16 @@ step; an admission's chunks are contiguous (never interleaved with another
 prompt's), which keeps the single staging buffer correct — a new prompt
 only reuses staging after its predecessor's write-through completed.
 
+MEASURED VERDICT (round 4, one v5e, 32 slots int8+kv8 96×128 — the A/B
+table in ARCHITECTURE.md): on a SINGLE chip this loses to batched
+admission on both aggregate (458.6 vs 691.8 tok/s) and first-wave TTFT
+(p50 3650 vs 1217 ms) — a monolithic flash prefill retires the prompt in
+~90 ms of dedicated compute while four P=160 chunks wait behind four
+ticks of 32 co-tenants' decode. Use `ServeEngine` with batched admission
+on one chip; this engine is scoped to multi-chip groups where admission
+batches can't form and a dedicated prefill would idle the decode
+collective.
+
 Reference: the reference has no serving at all (SURVEY §2); this is the
 TPU-native production path beyond `ServeEngine`'s serialized admission.
 """
