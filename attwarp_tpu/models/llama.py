@@ -28,6 +28,7 @@ import numpy as np
 
 from attwarp_tpu.numerics.quant import apply_linear, lm_logits, quantize_kv
 from attwarp_tpu.ops.pallas_decode_attn import (
+    decode_attn_bias,
     decode_attn_quantcache,
     decode_attn_supported,
     prepare_decode_attn_operands,
@@ -84,6 +85,22 @@ def init_quant_kv_cache(cfg: LlamaConfig, batch: int, max_seq: int) -> QuantKVCa
         jnp.zeros(shape, jnp.int8), jnp.zeros(shape[:-1], jnp.float32),
         jnp.zeros(shape, jnp.int8), jnp.zeros(shape[:-1], jnp.float32),
     )
+
+
+def make_decode_prep(kv):
+    """Pre-flattened flash-decoding scale operands for a multi-step decode
+    chain: the (L, B, S, kvH) -> (L, B, 1, S*kvH) relayout the kernel
+    needs, paid ONCE per jitted chain instead of once per step (the
+    measured ~0.9 ms/step prep term at LLaVA B=32,
+    eval_results/decode_terms_llava_b32.json). Pass the result as ``prep=``
+    to the decode steps, which return it incrementally appended (the new
+    token's scales land via one tiny dynamic_update_slice). Returns None
+    for dense caches."""
+    if not isinstance(kv, QuantKVCache):
+        return None
+    L, B, S, kvH = kv.k_s.shape
+    return (kv.k_s.reshape(L, B, 1, S * kvH),
+            kv.v_s.reshape(L, B, 1, S * kvH))
 
 
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -376,8 +393,12 @@ def llama_decode_step(
     positions: jnp.ndarray,        # (B,) rope position of the new token
     kv_mask: jnp.ndarray,          # (B, max_seq) bool incl. the new slot
     extract_layer: Optional[int] = None,
+    prep=None,                     # from make_decode_prep (quant chains)
 ):
-    """Single-token step against the cache. Returns (logits, new_kv, row).
+    """Single-token step against the cache. Returns (logits, new_kv, row),
+    plus the appended ``prep`` as a fourth element when one was passed
+    (multi-step chains thread it so the kernel's scale relayout is paid
+    once per chain — see ``make_decode_prep``).
 
     ``kv`` may be a dense ``LlamaKVCache`` or an int8 ``QuantKVCache``
     (dispatch is on the pytree type, static at trace time). The quantized
@@ -416,8 +437,12 @@ def llama_decode_step(
     if use_kernel:
         kv0, S = kv, kv.k_q.shape[2]
         strict = kv_mask & (jnp.arange(S)[None, :] != cur_len)
-        ksx, vsx, bias = prepare_decode_attn_operands(
-            kv0.k_s, kv0.v_s, strict)
+        if prep is not None:
+            ksx, vsx = prep
+            bias = decode_attn_bias(strict, cfg.kv_heads)
+        else:
+            ksx, vsx, bias = prepare_decode_attn_operands(
+                kv0.k_s, kv0.v_s, strict)
         appends = []
 
         def plane(cache, new):
@@ -503,6 +528,25 @@ def llama_decode_step(
             app(kv0.v_q, [a[2] for a in appends]),
             app(kv0.v_s, [a[3] for a in appends]),
         )
+        if prep is not None:
+            # append the new token's scales into the carried flat layout
+            # (one tiny dus — never the full relayout)
+            prep = (
+                jax.lax.dynamic_update_slice(
+                    ksx, jnp.stack([a[1] for a in appends]),
+                    (0, 0, 0, cur_len * cfg.kv_heads)),
+                jax.lax.dynamic_update_slice(
+                    vsx, jnp.stack([a[3] for a in appends]),
+                    (0, 0, 0, cur_len * cfg.kv_heads)),
+            )
+    elif prep is not None:
+        # off-kernel step with a carried prep: keep it consistent with the
+        # updated cache (this path is CPU/fallback only — the relayout
+        # the carry exists to avoid is cheap there)
+        prep = make_decode_prep(kv)
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     logits = lm_logits(x[:, 0], params)
-    return logits, kv, _stack_rows(rows, extract_layer)
+    row = _stack_rows(rows, extract_layer)
+    if prep is not None:
+        return logits, kv, row, prep
+    return logits, kv, row

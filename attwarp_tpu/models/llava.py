@@ -31,6 +31,7 @@ from attwarp_tpu.models.clip_vit import (
 from attwarp_tpu.models.llama import (
     LlamaConfig,
     llama_decode_step,
+    make_decode_prep,
     llama_prefill,
 )
 
@@ -214,15 +215,21 @@ def _generate_jit(
     full_mask = jnp.pad(attention_mask, ((0, 0), (0, max_seq - T)))
 
     def body(state, step):
-        tok, kv, finished, carry, full_mask = state
+        tok, kv, prep, finished, carry, full_mask = state
         cur_len = T + step
         full_mask = full_mask.at[:, cur_len].set(True)
         positions = lengths + step  # rope positions continue per sample
         emb = params["llama"]["embed_tokens"][tok][:, None, :]
-        logits, kv, row = llama_decode_step(
-            params["llama"], tcfg, emb, kv, cur_len, positions,
-            full_mask, extract_layer=extract_layer,
-        )
+        if prep is None:
+            logits, kv, row = llama_decode_step(
+                params["llama"], tcfg, emb, kv, cur_len, positions,
+                full_mask, extract_layer=extract_layer,
+            )
+        else:
+            logits, kv, row, prep = llama_decode_step(
+                params["llama"], tcfg, emb, kv, cur_len, positions,
+                full_mask, extract_layer=extract_layer, prep=prep,
+            )
         # reference parity: BatchMaskHookLogger accumulates EVERY generation
         # step, including rows produced after a sample emitted EOS (HF
         # generate keeps forwarding finished rows; llava.py:384-411)
@@ -232,18 +239,20 @@ def _generate_jit(
         # falls back to eos when the checkpoint defines no pad token)
         nxt = jnp.where(finished, cfg.pad_token_id, nxt)
         finished = jnp.logical_or(finished, nxt == cfg.eos_token_id)
-        return (nxt, kv, finished, carry, full_mask), tok
+        return (nxt, kv, prep, finished, carry, full_mask), tok
 
     # With the flash-decoding kernel in the body, the while-loop carry
     # boundary copies the whole int8 cache 4x per crossing (the custom-call
     # reads defeat XLA's in-place carry aliasing; measured +78 ms/step at
     # 7B B=16). Unrolling amortizes the boundary: inside the straight-line
     # unrolled block the read-then-append chain stays in place (the same
-    # reason tools/bench_decode.py unrolls).
+    # reason tools/bench_decode.py unrolls). The carried ``prep`` pays the
+    # kernel's scale relayout once per chain, not per step.
     unroll = min(8, max_new_tokens) if kv_quant else 1
-    (_, _, _, carry, _), toks = jax.lax.scan(
+    prep0 = make_decode_prep(kv)
+    (_, _, _, _, carry, _), toks = jax.lax.scan(
         body,
-        (tok0, kv, finished0, carry0, full_mask),
+        (tok0, kv, prep0, finished0, carry0, full_mask),
         jnp.arange(max_new_tokens, dtype=jnp.int32),
         unroll=unroll,
     )

@@ -48,6 +48,7 @@ from attwarp_tpu.models.llama import (
 )
 from attwarp_tpu.numerics.quant import apply_linear, lm_logits, quantize_kv
 from attwarp_tpu.ops.pallas_decode_attn import (
+    decode_attn_bias,
     decode_attn_quantcache,
     decode_attn_supported,
     prepare_decode_attn_operands,
@@ -380,8 +381,11 @@ def qwen2vl_prefill(
 
 def qwen2vl_decode_step(
     params, cfg: Qwen2VLTextConfig, token_embeds, kv, cur_len, cos, sin,
-    kv_mask, extract_layer: Optional[int] = None,
+    kv_mask, extract_layer: Optional[int] = None, prep=None,
 ):
+    """``prep`` (from ``llama.make_decode_prep``): carried flash-decoding
+    scale operands for multi-step chains; when passed, the step returns it
+    appended as a fourth element (see llama.py::llama_decode_step)."""
     B = token_embeds.shape[0]
     x = token_embeds
     quant = isinstance(kv, QuantKVCache)
@@ -407,8 +411,12 @@ def qwen2vl_decode_step(
     if use_kernel:
         kv0, S = kv, kv.k_q.shape[2]
         strict = kv_mask & (jnp.arange(S)[None, :] != cur_len)
-        ksx, vsx, bias = prepare_decode_attn_operands(
-            kv0.k_s, kv0.v_s, strict)
+        if prep is not None:
+            ksx, vsx = prep
+            bias = decode_attn_bias(strict, cfg.kv_heads)
+        else:
+            ksx, vsx, bias = prepare_decode_attn_operands(
+                kv0.k_s, kv0.v_s, strict)
         appends = []
 
         def plane(cache, new):
@@ -483,9 +491,25 @@ def qwen2vl_decode_step(
             app(kv0.v_q, [a[2] for a in appends]),
             app(kv0.v_s, [a[3] for a in appends]),
         )
+        if prep is not None:
+            prep = (
+                jax.lax.dynamic_update_slice(
+                    ksx, jnp.stack([a[1] for a in appends]),
+                    (0, 0, 0, cur_len * cfg.kv_heads)),
+                jax.lax.dynamic_update_slice(
+                    vsx, jnp.stack([a[3] for a in appends]),
+                    (0, 0, 0, cur_len * cfg.kv_heads)),
+            )
+    elif prep is not None:
+        from attwarp_tpu.models.llama import make_decode_prep
+
+        prep = make_decode_prep(kv)
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     logits = lm_logits(x[:, 0], params)
-    return logits, kv, _stack_rows(rows, extract_layer)
+    row = _stack_rows(rows, extract_layer)
+    if prep is not None:
+        return logits, kv, row, prep
+    return logits, kv, row
 
 
 # ── combined model ──────────────────────────────────────────────────────
@@ -637,7 +661,7 @@ def _qwen_generate_jit(
     full_mask = jnp.pad(attention_mask, ((0, 0), (0, max_seq - T)))
 
     def body(state, step):
-        tok, kv, finished, carry, full_mask = state
+        tok, kv, prep, finished, carry, full_mask = state
         cur_len = T + step
         full_mask = full_mask.at[:, cur_len].set(True)
         # all three mrope streams share the text position after the prompt
@@ -645,23 +669,32 @@ def _qwen_generate_jit(
         pos3 = jnp.broadcast_to(p[None, :, None], (3, B, 1))
         cos1, sin1 = mrope_cos_sin(pos3, tcfg)
         emb = params["text"]["embed_tokens"][tok][:, None, :]
-        logits, kv, row = qwen2vl_decode_step(
-            params["text"], tcfg, emb, kv, cur_len, cos1, sin1, full_mask,
-            extract_layer=extract_layer,
-        )
+        if prep is None:
+            logits, kv, row = qwen2vl_decode_step(
+                params["text"], tcfg, emb, kv, cur_len, cos1, sin1,
+                full_mask, extract_layer=extract_layer,
+            )
+        else:
+            logits, kv, row, prep = qwen2vl_decode_step(
+                params["text"], tcfg, emb, kv, cur_len, cos1, sin1,
+                full_mask, extract_layer=extract_layer, prep=prep,
+            )
         carry = acc(carry, row)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         # finished sequences continue with the PAD token, matching HF
         # generate (it forces pad_token_id for finished rows)
         nxt = jnp.where(finished, cfg.pad_token_id, nxt)
         finished = jnp.logical_or(finished, nxt == cfg.eos_token_id)
-        return (nxt, kv, finished, carry, full_mask), tok
+        return (nxt, kv, prep, finished, carry, full_mask), tok
 
     # unroll amortizes the while-loop carry-boundary cache copies the
-    # flash-decoding kernel's reads provoke (see _llava_generate's note)
+    # flash-decoding kernel's reads provoke (see _llava_generate's note);
+    # the carried prep pays the kernel's scale relayout once per chain
+    from attwarp_tpu.models.llama import make_decode_prep
+
     unroll = min(8, max_new_tokens) if kv_quant else 1
-    (_, _, _, carry, _), toks = jax.lax.scan(
-        body, (tok0, kv, finished0, carry0, full_mask),
+    (_, _, _, _, carry, _), toks = jax.lax.scan(
+        body, (tok0, kv, make_decode_prep(kv), finished0, carry0, full_mask),
         jnp.arange(max_new_tokens, dtype=jnp.int32),
         unroll=unroll,
     )

@@ -56,15 +56,32 @@ from attwarp_tpu.models.llama import (
     init_kv_cache,
     init_quant_kv_cache,
     llama_prefill,
+    make_decode_prep,
     rms_norm,
     rope_cos_sin,
 )
 from attwarp_tpu.numerics.quant import apply_linear, dequantize_kv, lm_logits, quantize_kv
 from attwarp_tpu.ops.pallas_decode_attn import (
+    decode_attn_bias,
     decode_attn_quantcache,
     decode_attn_supported,
     prepare_decode_attn_operands,
 )
+
+
+def _upd_prep_slots(flat, new_per_layer, cur_lens, kvH: int):
+    """Per-slot append into the carried flat scale operands: writes each
+    slot's new (kvH,) scale row at flat column ``cur_lens[b]*kvH`` — the
+    (L, B, 1, S*kvH) counterpart of ``_upd_slot_all`` (one scatter, never
+    the full (L, B, S, kvH) -> flat relayout)."""
+    stacked = jnp.stack([n[:, 0] for n in new_per_layer])    # (L, B, kvH)
+    L, B, _ = stacked.shape
+    li = jnp.broadcast_to(jnp.arange(L)[:, None, None], (L, B, kvH))
+    bi = jnp.broadcast_to(jnp.arange(B)[None, :, None], (L, B, kvH))
+    ci = jnp.broadcast_to(
+        cur_lens[None, :, None] * kvH + jnp.arange(kvH)[None, None, :],
+        (L, B, kvH))
+    return flat.at[li, bi, 0, ci].set(stacked)
 
 
 # ── jitted core ─────────────────────────────────────────────────────────
@@ -213,9 +230,13 @@ def _step_chunk(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts,
     program schedules slightly worse). ``ServeEngine`` picks per pool size.
     Returns (chunk (k_steps, B), kv, cur_lens+k_steps, keys)."""
     if unroll:
+        # pay the kernel's scale relayout ONCE per chunk, not per step
+        # (llama.make_decode_prep; the steps append to it incrementally)
+        prep = make_decode_prep(kv)
         chunk = []
         for _ in range(k_steps):
-            logits, kv = _step(params, cfg, tokens, kv, cur_lens, starts)
+            logits, kv, prep = _step(
+                params, cfg, tokens, kv, cur_lens, starts, prep)
             tokens, keys = _sample_tokens(logits, keys, temps, top_k, sampling)
             cur_lens = cur_lens + 1
             chunk.append(tokens)
@@ -223,7 +244,7 @@ def _step_chunk(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts,
 
     def body(carry, _):
         tokens, kv, cur_lens, keys = carry
-        logits, kv = _step(params, cfg, tokens, kv, cur_lens, starts)
+        logits, kv, _ = _step(params, cfg, tokens, kv, cur_lens, starts)
         nxt, keys = _sample_tokens(logits, keys, temps, top_k, sampling)
         return (nxt, kv, cur_lens + 1, keys), nxt
 
@@ -233,8 +254,10 @@ def _step_chunk(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts,
     return chunk, kv, cur_lens, keys
 
 
-def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts):
-    """Advance every slot one token.
+def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts, prep=None):
+    """Advance every slot one token. Returns (logits, new_kv, prep) —
+    ``prep`` is the carried flash-decoding scale operands (None outside a
+    prep-threaded chunk; see ``make_decode_prep``).
 
     tokens (B,) int32; cur_lens (B,) = cache position the new token is
     written at; starts (B,) = where each slot's prompt begins (prompts are
@@ -262,7 +285,12 @@ def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts):
         S, cfg.kv_heads, cfg.head_dim, B)
     if use_kernel:
         strict = (ar >= starts[:, None]) & (ar < cur_lens[:, None])
-        ksx, vsx, bias = prepare_decode_attn_operands(kv.k_s, kv.v_s, strict)
+        if prep is not None:
+            ksx, vsx = prep
+            bias = decode_attn_bias(strict, cfg.kv_heads)
+        else:
+            ksx, vsx, bias = prepare_decode_attn_operands(
+                kv.k_s, kv.v_s, strict)
         appends = []
     for i, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
@@ -326,9 +354,18 @@ def _step(params, cfg: LlamaConfig, tokens, kv, cur_lens, starts):
             _upd_slot_all(kv.v_q, [a[2] for a in appends], cur_lens),
             _upd_slot_all(kv.v_s, [a[3] for a in appends], cur_lens),
         )
+        if prep is not None:
+            prep = (
+                _upd_prep_slots(ksx, [a[1] for a in appends], cur_lens,
+                                cfg.kv_heads),
+                _upd_prep_slots(vsx, [a[3] for a in appends], cur_lens,
+                                cfg.kv_heads),
+            )
+    elif prep is not None:
+        prep = make_decode_prep(new)
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     logits = lm_logits(x[:, 0], params)
-    return logits, new
+    return logits, new, prep
 
 
 # ── Qwen2-VL family (M-RoPE; per-slot position deltas) ─────────────────
@@ -380,7 +417,7 @@ def _qwen_step_chunk(params, cfg, tokens, kv, cur_lens, starts, deltas,
     tokens after the prompt)."""
     from attwarp_tpu.models.qwen2vl import _apply_rope, _attn as _qattn, _mlp, _qkv, mrope_cos_sin
 
-    def one(tokens, kv, cur_lens):
+    def one(tokens, kv, cur_lens, prep=None):
         B = tokens.shape[0]
         S = (kv.k_q if isinstance(kv, QuantKVCache) else kv[0]).shape[2]
         quant = isinstance(kv, QuantKVCache)
@@ -395,8 +432,12 @@ def _qwen_step_chunk(params, cfg, tokens, kv, cur_lens, starts, deltas,
             S, cfg.kv_heads, cfg.head_dim, B)
         if use_kernel:
             strict = (ar >= starts[:, None]) & (ar < cur_lens[:, None])
-            ksx, vsx, bias = prepare_decode_attn_operands(
-                kv.k_s, kv.v_s, strict)
+            if prep is not None:
+                ksx, vsx = prep
+                bias = decode_attn_bias(strict, cfg.kv_heads)
+            else:
+                ksx, vsx, bias = prepare_decode_attn_operands(
+                    kv.k_s, kv.v_s, strict)
             appends = []
         for i, lp in enumerate(params["text"]["layers"]):
             h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
@@ -442,17 +483,27 @@ def _qwen_step_chunk(params, cfg, tokens, kv, cur_lens, starts, deltas,
                 _upd_slot_all(kv.v_q, [a[2] for a in appends], cur_lens),
                 _upd_slot_all(kv.v_s, [a[3] for a in appends], cur_lens),
             )
+            if prep is not None:
+                prep = (
+                    _upd_prep_slots(ksx, [a[1] for a in appends], cur_lens,
+                                    cfg.kv_heads),
+                    _upd_prep_slots(vsx, [a[3] for a in appends], cur_lens,
+                                    cfg.kv_heads),
+                )
+        elif prep is not None:
+            prep = make_decode_prep(new)
         x = rms_norm(x, params["text"]["norm"], cfg.rms_norm_eps)
         logits = lm_logits(x[:, 0], params["text"])
-        return logits, new
+        return logits, new, prep
 
     # same scan/unroll split as _step_chunk (scan double-buffers the
     # donated cache — the round-2 big-pool OOM; unroll trades a little
     # step time for fitting)
     if unroll:
+        prep = make_decode_prep(kv)
         chunk = []
         for _ in range(k_steps):
-            logits, kv = one(tokens, kv, cur_lens)
+            logits, kv, prep = one(tokens, kv, cur_lens, prep)
             tokens, keys = _sample_tokens(logits, keys, temps, top_k, sampling)
             cur_lens = cur_lens + 1
             chunk.append(tokens)
@@ -460,7 +511,7 @@ def _qwen_step_chunk(params, cfg, tokens, kv, cur_lens, starts, deltas,
 
     def body(carry, _):
         tokens, kv, cur_lens, keys = carry
-        logits, kv = one(tokens, kv, cur_lens)
+        logits, kv, _ = one(tokens, kv, cur_lens)
         nxt, keys = _sample_tokens(logits, keys, temps, top_k, sampling)
         return (nxt, kv, cur_lens + 1, keys), nxt
 

@@ -366,7 +366,7 @@ def test_engine_step_kernel_parity(monkeypatch):
         return real(*a, **kw)
 
     monkeypatch.setattr(eng_mod, "decode_attn_quantcache", spy)
-    step = jax.jit(lambda *a: eng_mod._step(*a), static_argnums=(1,))
+    step = jax.jit(lambda *a: eng_mod._step(*a)[:2], static_argnums=(1,))
     with pltpu.force_tpu_interpret_mode():
         logits, kv_new = jax.block_until_ready(
             step(params, cfg, tokens, kv, cur_lens, starts))
@@ -374,7 +374,7 @@ def test_engine_step_kernel_parity(monkeypatch):
 
     monkeypatch.setattr(eng_mod, "decode_attn_supported", lambda *a: False)
     logits_ref, kv_ref = jax.block_until_ready(
-        jax.jit(lambda *a: eng_mod._step(*a), static_argnums=(1,))(
+        jax.jit(lambda *a: eng_mod._step(*a)[:2], static_argnums=(1,))(
             params, cfg, tokens, kv, cur_lens, starts))
     np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
                                atol=5e-3, rtol=0)
