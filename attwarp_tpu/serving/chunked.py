@@ -766,22 +766,27 @@ class ChunkedPrefillEngine(ServeEngine):
         chunk, firsts = jax.device_get((chunk, firsts))
         chunk = np.asarray(chunk)
         # harvest decode rows (real slots only; the sink never activates)
+        took = {}
         for b in range(self.n_real):
             slot = self._slots[b]
             if not slot.active:
                 continue
             finished = False
+            consumed = 0
             for j in range(K):
                 tok = int(chunk[j, b])
                 slot.generated.append(tok)
                 slot.remaining -= 1
+                consumed = j + 1
                 if tok == self.cfg.eos_token_id or slot.remaining <= 0:
                     finished = True
                     break
+            took[slot.rid] = consumed
             self.cur_lens[b] += K
             self.tokens[b] = int(chunk[K - 1, b])
             if finished or self.cur_lens[b] + K >= self.max_seq:
                 self._retire(b)
+        self.tick_log.append((_time.perf_counter(), took))
         # activate admissions whose last chunk rode this tick
         now = _time.perf_counter()
         for s, a in completes:

@@ -629,6 +629,13 @@ class ServeEngine:
         # per-request latency accounting: rid -> {submit, first_token, done}
         # (host wall-clock; first_token lands right after the prefill)
         self.request_stats: Dict[int, Dict[str, float]] = {}
+        # cadence accounting (tools/bench_chunked_cadence.py): one entry per
+        # tick — (tick-end wall-clock, {rid: tokens consumed this tick}) —
+        # and one per admission wave — (start, end, n admitted). Both are
+        # cheap host appends; resident-slot inter-token gaps across an
+        # admission are derived from these.
+        self.tick_log: List[Tuple[float, Dict[int, int]]] = []
+        self.admit_log: List[Tuple[float, float, int]] = []
         self._next_rid = 0
 
     def _cache_dtype(self):
@@ -692,6 +699,9 @@ class ServeEngine:
         n = min(len(free), len(self.queue))
         if n == 0:
             return
+        import time as _time
+
+        _t_admit0 = _time.perf_counter()
         pairs = []
         for b in free[:n]:
             req = self.queue.popleft()
@@ -735,6 +745,9 @@ class ServeEngine:
                 self._slots[b].rid = -1
                 self.queue.appendleft(req)
             raise
+        if admitted:
+            self.admit_log.append(
+                (_t_admit0, _time.perf_counter(), len(admitted)))
 
     def _run_prefill(self, ids, mask, pixels, Tb: int, with_image: bool):
         """Admission-prefill hook: runs the batched LLaVA prefill on this
@@ -884,17 +897,21 @@ class ServeEngine:
         # the next tick (their columns this tick are unreachable garbage)
         fetched = jax.device_get((chunk, [f for _, _, f in self._pending]))
         chunk, pending_firsts = np.asarray(fetched[0]), fetched[1]
+        took: Dict[int, int] = {}
         for b, slot in enumerate(self._slots):
             if not slot.active:
                 continue
             finished = False
+            consumed = 0
             for j in range(K):
                 tok = int(chunk[j, b])
                 slot.generated.append(tok)
                 slot.remaining -= 1
+                consumed = j + 1
                 if tok == self.cfg.eos_token_id or slot.remaining <= 0:
                     finished = True   # incl. EOS on the chunk's LAST step
                     break
+            took[slot.rid] = consumed
             # device-side cur_lens advanced by K for everyone; the host copy
             # is authoritative and only counts consumed tokens (retired
             # slots' extra writes are dead — the next insert masks them out)
@@ -902,6 +919,9 @@ class ServeEngine:
             self.tokens[b] = int(chunk[K - 1, b])
             if finished or self.cur_lens[b] + K >= self.max_seq:
                 self._retire(b)
+        import time as _time
+
+        self.tick_log.append((_time.perf_counter(), took))
         if self._pending:
             self._activate_pending(pending_firsts)
 

@@ -22,6 +22,7 @@ from attwarp_tpu.models.llama import (
     LlamaKVCache,
     init_quant_kv_cache,
     llama_decode_step,
+    make_decode_prep,
 )
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "bf16"
@@ -104,10 +105,17 @@ def run(params, emb0, kv):               # it lives inside one jit, so only
     # and OOM'd B=32 (the serving engine's chunk step was unrolled for the
     # same reason; round-3 change)
     emb, probe = emb0, jnp.float32(0)
+    prep = make_decode_prep(kv)   # scale relayout paid once per chain
     for _ in range(STEPS):
-        logits, kv, _ = llama_decode_step(
-            params, cfg, emb, kv, jnp.int32(T_CTX), positions, kv_mask
-        )
+        if prep is None:
+            logits, kv, _ = llama_decode_step(
+                params, cfg, emb, kv, jnp.int32(T_CTX), positions, kv_mask
+            )
+        else:
+            logits, kv, _, prep = llama_decode_step(
+                params, cfg, emb, kv, jnp.int32(T_CTX), positions, kv_mask,
+                prep=prep,
+            )
         nxt = jnp.argmax(logits, axis=-1)
         emb = params["embed_tokens"][nxt][:, None, :]
         probe = probe + logits[0, 0]

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import tools.bench_utils  # noqa: F401  (persistent compile cache config)
-from attwarp_tpu.models.llama import init_quant_kv_cache
+from attwarp_tpu.models.llama import init_quant_kv_cache, make_decode_prep
 from attwarp_tpu.models.qwen2vl import (
     Qwen2VLTextConfig,
     mrope_cos_sin,
@@ -106,10 +106,17 @@ emb0 = jax.random.normal(kshape(), (B, 1, D), jnp.bfloat16) * 0.1
 def run(params, emb0, kv):
     # unrolled chain, same reasoning as tools/bench_decode.py
     emb, probe = emb0, jnp.float32(0)
+    prep = make_decode_prep(kv)   # scale relayout paid once per chain
     for _ in range(STEPS):
-        logits, kv, _ = qwen2vl_decode_step(
-            params, cfg, emb, kv, jnp.int32(T_CTX), cos1, sin1, kv_mask
-        )
+        if prep is None:
+            logits, kv, _ = qwen2vl_decode_step(
+                params, cfg, emb, kv, jnp.int32(T_CTX), cos1, sin1, kv_mask
+            )
+        else:
+            logits, kv, _, prep = qwen2vl_decode_step(
+                params, cfg, emb, kv, jnp.int32(T_CTX), cos1, sin1, kv_mask,
+                prep=prep,
+            )
         nxt = jnp.argmax(logits, axis=-1)
         emb = params["embed_tokens"][nxt][:, None, :]
         probe = probe + logits[0, 0]
