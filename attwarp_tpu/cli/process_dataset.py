@@ -464,6 +464,9 @@ def process_dataset(
 
 
 def main(argv=None) -> int:
+    from attwarp_tpu.cli import pin_platform
+
+    pin_platform()
     args = build_parser().parse_args(argv)
     from attwarp_tpu.utils.compile_cache import enable_compile_cache
 

@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from attwarp_tpu.cli import pin_platform
+
+    pin_platform()
     args = build_parser().parse_args(argv)
     from attwarp_tpu.utils.compile_cache import enable_compile_cache
 

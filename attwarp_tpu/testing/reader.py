@@ -82,6 +82,138 @@ def make_scene(
     return img.astype(np.uint8), bits_to_hex(bits), (y, x, side)
 
 
+def make_scene_hard(
+    rng: np.random.Generator,
+    src: int = 512,
+    n_distractors: int = 3,
+) -> Tuple[np.ndarray, str, Tuple[int, int, int]]:
+    """The second task geometry (VERDICT r4 item 7): everything the
+    centered code-tag scene holds fixed is varied here —
+
+    - the tag sits ANYWHERE (down to an 8 px border margin, so it can hug
+      edges/corners where the separable warp's magnification is asymmetric),
+    - the tag SCALE varies (cell 5-8 px at src=512: 1.25-2 px/cell in the
+      reader's 128px view — all unreadable unwarped, and the warp must
+      deliver different magnification factors),
+    - 2-4 DISTRACTOR high-contrast patterns (checkerboards / stripes at
+      full black-white contrast, same size class as the tag) pull attention
+      mass away from the tag: the extraction's saliency map becomes
+      multi-modal and the marginal CDFs magnify distractor bands too.
+
+    The true tag remains identifiable by its black quiet ring (the
+    distractor patterns run edge-to-edge) — the reader's prior, standing in
+    for a real MLLM knowing what a code tag looks like."""
+    cell = int(rng.integers(5, 9))
+    side = CELLS * cell
+    yy, xx = np.mgrid[0:src, 0:src].astype(np.float32) / src
+    base = 90 + 70 * (0.6 * xx + 0.4 * yy)
+    for _ in range(3):
+        cy, cx = rng.uniform(0, src, 2)
+        r = rng.uniform(src * 0.2, src * 0.5)
+        d2 = ((np.mgrid[0:src] - cy)[:, None] ** 2
+              + (np.mgrid[0:src] - cx)[None, :] ** 2)
+        base += rng.uniform(-18, 18) * np.exp(-d2 / (2 * r * r))
+    img = np.repeat(np.clip(base, 40, 215)[..., None], 3, axis=2)
+
+    def sample_box(s, placed, margin=8, sep=56):
+        for _ in range(200):
+            y = int(rng.integers(margin, src - s - margin))
+            x = int(rng.integers(margin, src - s - margin))
+            ok = all(
+                y + s + sep <= py or py + ps + sep <= y
+                or x + s + sep <= px or px + ps + sep <= x
+                for py, px, ps in placed
+            )
+            if ok:
+                return y, x
+        return None
+
+    placed: list = []
+    bits = rng.integers(0, 2, size=(BITS, BITS))
+    tag = np.zeros((CELLS, CELLS), np.float32)
+    tag[RING:RING + BITS, RING:RING + BITS] = bits * 255.0
+    patch = np.kron(tag, np.ones((cell, cell), np.float32))
+    pos = sample_box(side, placed)
+    assert pos is not None, "could not place the tag"
+    y, x = pos
+    img[y:y + side, x:x + side] = patch[..., None]
+    placed.append((y, x, side))
+
+    for _ in range(int(n_distractors) + int(rng.integers(0, 2))):
+        dc = int(rng.integers(5, 9))
+        ds = int(rng.integers(8, 12)) * dc
+        p = sample_box(ds, placed)
+        if p is None:
+            continue
+        dy, dx = p
+        kind = rng.integers(0, 3)
+        gy, gx = np.mgrid[0:ds, 0:ds]
+        if kind == 0:      # checkerboard, full contrast, no quiet ring
+            pat = (((gy // dc) + (gx // dc)) % 2) * 255.0
+        elif kind == 1:    # vertical stripes
+            pat = ((gx // dc) % 2) * 255.0
+        else:              # horizontal stripes
+            pat = ((gy // dc) % 2) * 255.0
+        img[dy:dy + ds, dx:dx + ds] = pat[..., None]
+        placed.append((dy, dx, ds))
+    return img.astype(np.uint8), bits_to_hex(bits), (y, x, side)
+
+
+def _components(mask: np.ndarray):
+    """8-connected components of a small bool mask -> [(ys, xs), ...]
+    (plain BFS — the mask is the reader's ≤128² view, a handful of blobs)."""
+    from collections import deque
+
+    H, W = mask.shape
+    lab = np.full((H, W), -1, np.int32)
+    comps = []
+    for sy, sx in zip(*np.nonzero(mask)):
+        if lab[sy, sx] >= 0:
+            continue
+        idx = len(comps)
+        lab[sy, sx] = idx
+        q = deque([(int(sy), int(sx))])
+        pts = []
+        while q:
+            y, x = q.popleft()
+            pts.append((y, x))
+            for ny in range(max(0, y - 1), min(H, y + 2)):
+                for nx in range(max(0, x - 1), min(W, x + 2)):
+                    if mask[ny, nx] and lab[ny, nx] < 0:
+                        lab[ny, nx] = idx
+                        q.append((ny, nx))
+        pts = np.asarray(pts)
+        comps.append((pts[:, 0], pts[:, 1]))
+    return comps
+
+
+def _taglike(gray: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> bool:
+    """Does this high-contrast component look like a code tag? A tag's
+    quiet ring is UNIFORMLY dark: lay the CELLS-grid over the component
+    bbox (one bleed shrink) and require the ring cells' 90th percentile to
+    sit below the inner cells' binarization threshold. Checkerboards and
+    stripes alternate bright cells through the ring band and fail."""
+    H, W = gray.shape
+    y0, y1 = ys.min() + 2.0, ys.max() - 2.0
+    x0, x1 = xs.min() + 2.0, xs.max() - 2.0
+    if y1 <= y0 or x1 <= x0:
+        return False
+    ch = (y1 - y0 + 1) / CELLS
+    cw = (x1 - x0 + 1) / CELLS
+    ring, inner = [], []
+    for i in range(CELLS):
+        for j in range(CELLS):
+            yi = int(np.clip(round(y0 + (i + 0.5) * ch), 0, H - 1))
+            xi = int(np.clip(round(x0 + (j + 0.5) * cw), 0, W - 1))
+            v = gray[yi, xi]
+            if RING <= i < CELLS - RING and RING <= j < CELLS - RING:
+                inner.append(v)
+            else:
+                ring.append(v)
+    thr = (min(inner) + max(inner)) / 2.0
+    return float(np.percentile(ring, 90)) <= thr
+
+
 def _local_std(gray: np.ndarray, win: int) -> np.ndarray:
     """Box-filtered local standard deviation (reflect padding)."""
     pad = win // 2
@@ -129,9 +261,32 @@ class ReaderBackend:
             if gray.max() > 1.5:
                 gray = gray / 255.0
             std = _local_std(gray, win=7)
-            maps.append(self._pool(std))
+            maps.append(self._pool(self._condition(gray, std)))
             texts.append(self._read(gray, std))
         return np.stack(maps), texts
+
+    def _condition(self, gray: np.ndarray, std: np.ndarray) -> np.ndarray:
+        """Question-conditioned saliency: the question asks about THE TAG,
+        so components that don't look like one (no uniformly dark quiet
+        ring) are down-weighted — the proxy analogue of the reference's
+        relative attention (question-conditioned over generic; C27's
+        'relative' maps, Ablations/uncertainty_attn_maps_llava.py:59-60).
+        Single-region scenes are unchanged (their one component is the
+        tag); multi-region scenes (make_scene_hard) stop splitting the
+        warp's magnification across distractors."""
+        if std.max() <= 0:
+            return std
+        mask = std > 0.4 * std.max()
+        out = std.copy()
+        comps = _components(mask)
+        if len(comps) <= 1:
+            return out
+        for ys, xs in comps:
+            if len(ys) < 12:
+                continue
+            if not _taglike(gray, ys, xs):
+                out[ys, xs] *= 0.15
+        return out
 
     def _pool(self, std: np.ndarray) -> np.ndarray:
         n = self.num_patches_side
@@ -146,6 +301,14 @@ class ReaderBackend:
         the 8x8 cell centers, threshold, emit hex. All from the low-res
         view — if the cells aren't resolved there, the answer is wrong.
 
+        Multi-region scenes (``make_scene_hard``): each connected
+        high-contrast component is decoded as a candidate, and candidates
+        whose quiet ring isn't dark (checkerboard/stripe distractors run
+        edge to edge) are gated to near-zero confidence — the proxy's
+        analogue of a real MLLM knowing what a code tag looks like. On
+        single-tag scenes this reduces to the original behavior (one
+        component, ring present).
+
         The contrast window bleeds the bounding box outward by a couple of
         pixels; rather than assume one shrink, several candidates are
         decoded and the most confident read wins (confidence = the minimum
@@ -154,33 +317,55 @@ class ReaderBackend:
         mask = std > 0.4 * std.max()
         if not mask.any():
             return ""
-        ys, xs = np.nonzero(mask)
         H, W = gray.shape
         best, best_conf = "", -1.0
-        for shrink in (1.5, 2.0, 2.5, 3.0):
-            y0, y1 = ys.min() + shrink, ys.max() - shrink
-            x0, x1 = xs.min() + shrink, xs.max() - shrink
-            if y1 <= y0 or x1 <= x0:
+        for ys, xs in _components(mask):
+            if len(ys) < 12:
                 continue
-            # strip the ring: code occupies the central BITS/CELLS fraction
-            fy = (y1 - y0 + 1) * RING / CELLS
-            fx = (x1 - x0 + 1) * RING / CELLS
-            cy0, cy1 = y0 + fy, y1 + 1 - fy
-            cx0, cx1 = x0 + fx, x1 + 1 - fx
-            vals = np.empty((BITS, BITS), np.float32)
-            for i in range(BITS):
-                yc = cy0 + (i + 0.5) * (cy1 - cy0) / BITS
-                for j in range(BITS):
-                    xc = cx0 + (j + 0.5) * (cx1 - cx0) / BITS
-                    yi = int(np.clip(round(yc), 1, H - 2))
-                    xi = int(np.clip(round(xc), 1, W - 2))
-                    vals[i, j] = gray[yi - 1:yi + 2, xi - 1:xi + 2].mean()
-            thr = (vals.min() + vals.max()) / 2.0
-            spread = max(vals.max() - vals.min(), 1e-6)
-            conf = float(np.min(np.abs(vals - thr)) / spread)
-            if conf > best_conf:
-                best_conf = conf
-                best = bits_to_hex((vals > thr).astype(np.int64))
+            for shrink in (1.5, 2.0, 2.5, 3.0):
+                y0, y1 = ys.min() + shrink, ys.max() - shrink
+                x0, x1 = xs.min() + shrink, xs.max() - shrink
+                if y1 <= y0 or x1 <= x0:
+                    continue
+                # ring + code grid over the FULL box (CELLS x CELLS) ...
+                ch = (y1 - y0 + 1) / CELLS
+                cw = (x1 - x0 + 1) / CELLS
+                ring_vals = []
+                for i in range(CELLS):
+                    for j in range(CELLS):
+                        if RING <= i < CELLS - RING and \
+                                RING <= j < CELLS - RING:
+                            continue
+                        yi = int(np.clip(round(y0 + (i + 0.5) * ch), 0, H - 1))
+                        xi = int(np.clip(round(x0 + (j + 0.5) * cw), 0, W - 1))
+                        ring_vals.append(gray[yi, xi])
+                # ... then strip it: code = the central BITS/CELLS fraction
+                fy = (y1 - y0 + 1) * RING / CELLS
+                fx = (x1 - x0 + 1) * RING / CELLS
+                cy0, cy1 = y0 + fy, y1 + 1 - fy
+                cx0, cx1 = x0 + fx, x1 + 1 - fx
+                vals = np.empty((BITS, BITS), np.float32)
+                for i in range(BITS):
+                    yc = cy0 + (i + 0.5) * (cy1 - cy0) / BITS
+                    for j in range(BITS):
+                        xc = cx0 + (j + 0.5) * (cx1 - cx0) / BITS
+                        yi = int(np.clip(round(yc), 1, H - 2))
+                        xi = int(np.clip(round(xc), 1, W - 2))
+                        vals[i, j] = gray[yi - 1:yi + 2, xi - 1:xi + 2].mean()
+                thr = (vals.min() + vals.max()) / 2.0
+                spread = max(vals.max() - vals.min(), 1e-6)
+                conf = float(np.min(np.abs(vals - thr)) / spread)
+                # quiet-ring gate: a real tag's ring is UNIFORMLY dark, so
+                # even its 90th-percentile cell sits below the binarization
+                # threshold; checkerboard/stripe distractors alternate
+                # bright cells through the ring band and fail the
+                # percentile even when their ring MEAN straddles thr
+                if ring_vals and \
+                        float(np.percentile(ring_vals, 90)) > thr:
+                    conf *= 0.01
+                if conf > best_conf:
+                    best_conf = conf
+                    best = bits_to_hex((vals > thr).astype(np.int64))
         return best
 
 
@@ -255,20 +440,26 @@ def write_textvqa_dataset(
     seed: int = 0,
     src: int = 512,
     question: str = "what is the code on the tag?",
+    geometry: str = "center",
 ) -> Tuple[str, str]:
     """Write a TextVQA_0.5.1-layout dataset (JSON + {image_id}.jpg images)
-    of code-tag scenes. Returns (json_path, image_dir)."""
+    of code-tag scenes. ``geometry``: "center" = the original single
+    centered-margin tag; "hard" = off-center varying-scale tag among
+    high-contrast distractors (``make_scene_hard``). Returns
+    (json_path, image_dir)."""
     import json
     import os
 
     from PIL import Image
 
+    scene = {"center": make_scene, "hard": make_scene_hard}[geometry]
     rng = np.random.default_rng(seed)
     image_dir = os.path.join(out_dir, "images")
     os.makedirs(image_dir, exist_ok=True)
     data = []
     for i in range(n):
-        img, answer, _box = make_scene(rng, src=src)
+        img, answer, _box = scene(rng, src=src)
+        cell = _box[2] // CELLS
         image_id = f"codetag_{i:05d}"
         # JPEG like the real TextVQA images (quality high enough to keep
         # the tag cells; the reader still can't resolve them unwarped)
@@ -280,7 +471,10 @@ def write_textvqa_dataset(
             "image_id": image_id,
             "question_id": i,
             "answers": [answer] * 10,
-            "image_classes": ["tag"],
+            # cell_N / tag box: consumed by the by-scale gain analysis on
+            # the hard geometry (extra keys are inert to the driver/eval)
+            "image_classes": ["tag", f"cell_{cell}"],
+            "tag_box_yxs": [int(_box[0]), int(_box[1]), int(_box[2])],
             "image_width": src,
             "image_height": src,
         })

@@ -24,9 +24,13 @@ def main(argv=None) -> int:
     p.add_argument("--n", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--src", type=int, default=512, help="scene resolution")
+    p.add_argument("--geometry", choices=("center", "hard"), default="center",
+                   help="'hard' = off-center varying-scale tag among "
+                        "high-contrast distractors (VERDICT r4 item 7)")
     args = p.parse_args(argv)
     json_path, image_dir = write_textvqa_dataset(
-        args.out_dir, n=args.n, seed=args.seed, src=args.src
+        args.out_dir, n=args.n, seed=args.seed, src=args.src,
+        geometry=args.geometry,
     )
     print(f"wrote {args.n} samples: {json_path} (images in {image_dir})")
     return 0

@@ -44,6 +44,9 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--image-size", type=int, default=512)
     p.add_argument("--out-json", default="eval_results/marginalnet_accuracy_gain.json")
+    p.add_argument("--geometry", choices=("center", "hard"), default="center",
+                   help="'hard' = off-center varying-scale tags among "
+                        "distractors (VERDICT r4 item 7 second geometry)")
     args = p.parse_args(argv)
 
     import jax
@@ -72,10 +75,13 @@ def main(argv=None) -> int:
 
     # ── 1. datasets (disjoint seeds -> disjoint tag contents/positions) ──
     train_json, train_imgs = write_textvqa_dataset(
-        os.path.join(wd, "train_data"), args.n_train, seed=100)
+        os.path.join(wd, "train_data"), args.n_train, seed=100,
+        geometry=args.geometry)
     eval_json, eval_imgs = write_textvqa_dataset(
-        os.path.join(wd, "eval_data"), args.n_eval, seed=900)
-    print(f"[chain] datasets: {args.n_train} train / {args.n_eval} eval")
+        os.path.join(wd, "eval_data"), args.n_eval, seed=900,
+        geometry=args.geometry)
+    print(f"[chain] datasets: {args.n_train} train / {args.n_eval} eval "
+          f"({args.geometry})")
 
     # ── 2. real driver on the train set (oracle artifacts) ─────────────
     proc_dir = os.path.join(wd, "processed_train")
@@ -208,6 +214,7 @@ def main(argv=None) -> int:
 
     # ── 6. commit-ready artifact ────────────────────────────────────────
     final["model"] = "marginalnet+reader"
+    final["geometry"] = args.geometry
     final["produced_by"] = (
         f"tools/run_marginalnet_chain.py: process_dataset --backend reader "
         f"(n={args.n_train}) -> train_loop ({args.epochs} epochs, bs "
