@@ -123,10 +123,13 @@ class EngineAnswerBackend:
             # (the axon relay's memory_stats() returns {} — measured)
             hbm = (1 << 62) if jax.default_backend() == "cpu" else 16 * 2**30
         # the batched admission's returned KV block sits beside the slot
-        # cache at its peak (4 × 712-token int8 block at 7B ≈ 0.7 GiB) —
-        # that transient plus compile workspace is what tipped the first
-        # dry-run over at 32 slots × 188 MiB beside 7.9 GiB of weights
-        admit_block = 4 * max_seq * per_tok * (1 if kv_quant else 2)
+        # cache at its peak — that transient plus compile workspace is what
+        # tipped the first dry-run over at 32 slots × 188 MiB beside
+        # 7.9 GiB of weights. The startup admission ramp (engine
+        # admit_batch_cold, default min(slots, 8)) makes the cold wave's
+        # block up to 8 requests wide, so size for that.
+        admit_block = min(8, self.slots) * max_seq * per_tok * (
+            1 if kv_quant else 2)
         # 3 GiB reserve: the second runbook dry-run still OOM'd with a
         # 1.5 GiB reserve at 30 slots (the admission prefill's executable +
         # activations + relay-side allocator slack are not visible from

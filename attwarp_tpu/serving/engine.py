@@ -554,7 +554,7 @@ class ServeEngine:
                  bucket: int = 64, kv_quant: bool = False,
                  steps_per_tick: int = 8, top_k: int = 0, seed: int = 0,
                  use_flash: bool = False, chunk_impl: str = "auto",
-                 admit_batch: int = 4):
+                 admit_batch: int = 4, admit_batch_cold: int = 0):
         self.model = model
         self.cfg = model.cfg
         self.tcfg = model.cfg.text
@@ -577,6 +577,16 @@ class ServeEngine:
         # (n=8 dense at 7B = 2.7 GiB, which OOM'd beside a 16-slot dense
         # cache). 4 balances the two.
         self.admit_batch = max(1, admit_batch)
+        # Startup admission ramp (VERDICT r4 item 6): while the pool is
+        # IDLE there are no resident slots for a wide prefill to stall, and
+        # the first wave's TTFT is just serialized admission groups (at 32
+        # slots / admit 2 that measured 1217 ms first-wave p50) — so cold
+        # admissions use a wider cap and steady-state keeps the small one
+        # that bounds the KV-block transient beside a full cache. 0 = auto
+        # (min(slots, 8)); pass 1 to disable the ramp.
+        self.admit_batch_cold = max(
+            self.admit_batch,
+            min(slots, 8) if admit_batch_cold == 0 else admit_batch_cold)
         # second family: Qwen2-VL (M-RoPE positions carry a per-request delta)
         self.family = ("qwen2vl" if hasattr(model.cfg, "vision_start_token_id")
                        else "llava")
@@ -713,6 +723,12 @@ class ServeEngine:
         # crashed admission can't wedge the engine with orphaned pending
         # slots (run() would otherwise spin on them forever).
         admitted = set()
+        # startup ramp: no resident decodes to stall while the pool is
+        # idle -> admit in the widest groups (pending slots don't count:
+        # they activate only at the next tick's harvest)
+        cap = (self.admit_batch
+               if any(s.active for s in self._slots)
+               else self.admit_batch_cold)
         try:
             # Group by (length bucket, pixel shape): mixed image shapes in
             # one bucket must not share an np.stack / jitted program. For
@@ -733,7 +749,7 @@ class ServeEngine:
                 i = 0
                 while i < len(members):
                     size = 1 << ((len(members) - i).bit_length() - 1)
-                    size = min(size, self.admit_batch)
+                    size = min(size, cap)
                     chunk = members[i:i + size]
                     prefill(Tb, pix is not None, chunk)
                     admitted.update(b for b, _ in chunk)

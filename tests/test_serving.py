@@ -411,14 +411,17 @@ def test_engine_text_only_requests(model, rng):
 
 def test_batched_admission_grouping(model, rng, monkeypatch):
     """Admission groups by (length bucket, has-image) and splits each group
-    into power-of-two chunks capped at admit_batch — and the batched
-    prefill changes no request's tokens."""
+    into power-of-two chunks — WIDE on the cold first wave (startup ramp:
+    an idle pool has no residents to stall, cap = admit_batch_cold =
+    min(slots, 8) by default), capped at admit_batch once slots are
+    decoding — and the batched prefill changes no request's tokens."""
     eng = ServeEngine(model, slots=8, max_seq=96, bucket=16, admit_batch=2)
     calls = []
     real = ServeEngine._prefill_group
 
     def spy(self, Tb, with_image, chunk):
-        calls.append((Tb, with_image, len(chunk)))
+        calls.append((Tb, with_image, len(chunk),
+                      any(s.active for s in self._slots)))
         return real(self, Tb, with_image, chunk)
 
     monkeypatch.setattr(ServeEngine, "_prefill_group", spy)
@@ -430,12 +433,13 @@ def test_batched_admission_grouping(model, rng, monkeypatch):
     tid = eng.submit(rng.integers(3, 90, size=(8,)).astype(np.int64), None,
                      max_new_tokens=4)
     out = eng.run()
-    # first admission wave fills all 8 slots in 5 grouped prefills:
-    # bucket-16-with-image 5 reqs -> chunks 2+2+1, bucket-32 2 reqs -> one
-    # chunk of 2, text-only bucket-16 -> its own group of 1
-    assert sorted(calls[:5]) == [(16, False, 1), (16, True, 1),
-                                 (16, True, 2), (16, True, 2), (32, True, 2)]
-    assert all(c[2] <= 2 for c in calls)          # admit_batch respected
+    # cold first wave fills all 8 slots in 4 grouped prefills at the RAMP
+    # cap (8): bucket-16-with-image 5 reqs -> chunks 4+1, bucket-32 2 reqs
+    # -> one chunk of 2, text-only bucket-16 -> its own group of 1
+    assert sorted(c[:3] for c in calls[:4]) == [
+        (16, False, 1), (16, True, 1), (16, True, 4), (32, True, 2)]
+    # steady state (residents decoding) respects admit_batch
+    assert all(c[2] <= 2 for c in calls if c[3])
     assert tid in out
     for rid, ids, px in reqs:
         assert out[rid] == _reference_tokens(model, ids, px, 4)

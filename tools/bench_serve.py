@@ -36,6 +36,9 @@ MAX_NEW = int(sys.argv[4]) if len(sys.argv) > 4 else 32
 CHUNK = sys.argv[5] if len(sys.argv) > 5 else "auto"
 TICK = int(sys.argv[6]) if len(sys.argv) > 6 else 8
 ADMIT = int(sys.argv[7]) if len(sys.argv) > 7 else 4
+# startup-ramp cap (engine arg admit_batch_cold): 0 = engine auto
+# (min(slots, 8)), 1 = ramp disabled (classic behavior)
+ADMIT_COLD = int(sys.argv[8]) if len(sys.argv) > 8 else 0
 # size the slot cache from the workload: 640-token prompt bucket + answer +
 # chunk slack, rounded up to 16 (768 for the classic 96-new config)
 MAX_SEQ = -(-(640 + MAX_NEW + TICK) // 16) * 16
@@ -79,7 +82,8 @@ rng = np.random.default_rng(0)
 
 label = MODE + ("+kv8" if KV8 else "") + ("+flash" if FLASH else "")
 print(f"engine: {label}, slots={SLOTS}, requests={N_REQ}, max_new={MAX_NEW}, "
-      f"chunk={CHUNK}, tick={TICK}, admit={ADMIT}, max_seq={MAX_SEQ}")
+      f"chunk={CHUNK}, tick={TICK}, admit={ADMIT}, "
+      f"admit_cold={ADMIT_COLD}, max_seq={MAX_SEQ}")
 
 # warm the compiles (one prefill bucket + the step) with a tiny run,
 # then drop the warm-up engine's KV cache BEFORE allocating the measured
@@ -87,7 +91,7 @@ print(f"engine: {label}, slots={SLOTS}, requests={N_REQ}, max_new={MAX_NEW}, "
 # of weights) and distort capacity comparisons
 warm = ServeEngine(model, slots=SLOTS, max_seq=MAX_SEQ, bucket=64, kv_quant=KV8,
                    chunk_impl=CHUNK, steps_per_tick=TICK, use_flash=FLASH,
-                  admit_batch=ADMIT)
+                   admit_batch=ADMIT, admit_batch_cold=ADMIT_COLD)
 # warm EVERY batched-admission group size on top of the chunk step, so no
 # compile lands inside the measured run: one wave per power-of-two size
 # <= min(admit_batch, slots) guarantees the admission decomposes to exactly
@@ -95,7 +99,7 @@ warm = ServeEngine(model, slots=SLOTS, max_seq=MAX_SEQ, bucket=64, kv_quant=KV8,
 # when admit_batch > 8, and mid-run slot-availability patterns can produce
 # any of them)
 size = 1
-while size <= min(ADMIT, SLOTS):
+while size <= min(warm.admit_batch_cold, SLOTS):
     for _ in range(size):
         ids = rng.integers(3, 31999, size=(600,)).astype(np.int64)
         warm.submit(ids, None, max_new_tokens=2)
@@ -105,7 +109,7 @@ del warm
 
 eng = ServeEngine(model, slots=SLOTS, max_seq=MAX_SEQ, bucket=64, kv_quant=KV8,
                   chunk_impl=CHUNK, steps_per_tick=TICK, use_flash=FLASH,
-                  admit_batch=ADMIT)
+                  admit_batch=ADMIT, admit_batch_cold=ADMIT_COLD)
 total_new = 0
 for _ in range(N_REQ):
     T = int(rng.integers(577, 640))   # one 64-token bucket (=> 640)
