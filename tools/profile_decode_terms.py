@@ -35,7 +35,11 @@ import jax.numpy as jnp
 import numpy as np
 
 import tools.bench_utils  # noqa: F401  (persistent compile cache config)
-from attwarp_tpu.models.llama import init_quant_kv_cache, rms_norm
+from attwarp_tpu.models.llama import (
+    init_quant_kv_cache,
+    make_decode_prep,
+    rms_norm,
+)
 from attwarp_tpu.numerics.quant import (
     apply_linear,
     lm_logits,
@@ -169,19 +173,27 @@ results = {}
 # ── full step ────────────────────────────────────────────────────────────
 
 
-def step(p, emb, kv):
+def step(p, emb, kv, prep):
     if args.family == "qwen":
         return qwen2vl_decode_step(
-            p, cfg, emb, kv, jnp.int32(T_CTX), cos1, sin1, kv_mask)
+            p, cfg, emb, kv, jnp.int32(T_CTX), cos1, sin1, kv_mask,
+            prep=prep)
     pos = jnp.full((B,), T_CTX, jnp.int32)
     return llama_decode_step(
-        p, cfg, emb, kv, jnp.int32(T_CTX), pos, kv_mask)
+        p, cfg, emb, kv, jnp.int32(T_CTX), pos, kv_mask, prep=prep)
 
 
 def full(p, emb, kv):
+    # the production chain form: the scale relayout is paid ONCE via
+    # make_decode_prep and carried (matches generate / the engine / the
+    # bench tools); prep_only below prices the per-step form it replaced
     probe = jnp.float32(0)
+    prep = make_decode_prep(kv)
     for _ in range(STEPS):
-        logits, kv, _ = step(p, emb, kv)
+        if prep is None:
+            logits, kv, _ = step(p, emb, kv, None)
+        else:
+            logits, kv, _, prep = step(p, emb, kv, prep)
         nxt = jnp.argmax(logits, axis=-1)
         emb = p["embed_tokens"][nxt][:, None, :]
         probe = probe + logits[0, 0]
@@ -384,8 +396,8 @@ report = {
         "ms_per_step_net_of_relay against hbm_floors_ms for per-term "
         "efficiency. prep_only is the per-step full scale relayout that "
         "the carried-prep production form (make_decode_prep) replaces "
-        "with one relayout per chain; kernel+prep+append uses the "
-        "carried form."),
+        "with one relayout per chain; full, full_lm8 and "
+        "kernel+prep+append use the carried production form."),
 }
 print(json.dumps(report, indent=2))
 if args.out:
