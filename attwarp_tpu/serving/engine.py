@@ -583,10 +583,12 @@ class ServeEngine:
         # slots / admit 2 that measured 1217 ms first-wave p50) — so cold
         # admissions use a wider cap and steady-state keeps the small one
         # that bounds the KV-block transient beside a full cache. 0 = auto
-        # (min(slots, 8)); pass 1 to disable the ramp.
+        # (min(slots, 8), clamped to the HBM budget after the cache is
+        # allocated below); pass 1 to disable the ramp.
         self.admit_batch_cold = max(
             self.admit_batch,
             min(slots, 8) if admit_batch_cold == 0 else admit_batch_cold)
+        self._auto_cold = admit_batch_cold == 0
         # second family: Qwen2-VL (M-RoPE positions carry a per-request delta)
         self.family = ("qwen2vl" if hasattr(model.cfg, "vision_start_token_id")
                        else "llava")
@@ -602,6 +604,9 @@ class ServeEngine:
         else:
             self.kv = init_kv_cache(self.tcfg, slots, max_seq,
                                     dtype=self._cache_dtype())
+        if self._auto_cold:
+            self.admit_batch_cold = self._fit_cold_cap(self.admit_batch_cold)
+
         # chunk loop form: lax.scan is ~5-10% faster per step but XLA
         # double-buffers the carry, keeping TWO live copies of the cache —
         # "auto" switches to the unrolled form when a second copy (plus the
@@ -652,6 +657,54 @@ class ServeEngine:
         lm = self.model.params.get("llama") or self.model.params["text"]
         emb = lm["embed_tokens"]
         return emb.dtype if hasattr(emb, "dtype") else jnp.float32
+
+    def _fit_cold_cap(self, want: int) -> int:
+        """Clamp the auto startup-ramp cap to what HBM actually holds.
+
+        The cold admission's transient footprint scales with the group
+        width n twice over: the returned KV block (one max_seq-bucket row
+        per request) AND the prefill program's live activations — the
+        full-sequence f32 logits (Tb·vocab per row: argmax-of-prefill
+        picks the first token) plus the attention/MLP transients XLA
+        keeps live (~64 hidden-size bf16 rows worth, empirically). Four
+        measured feasibility points on one v5e at 7B int8+kv8+flash
+        (6.53 GiB weights; 784-token cache rows of 203 MiB): 32 slots
+        (6.32 GiB cache) fits admit-2, RESOURCE_EXHAUSTs at 4 and 8; 16
+        slots (3.16 GiB cache) fits admit-4, exhausts at 8. The model —
+        weights + cache + n·(block row + Tb·(4·vocab + 128·D)) + 0.5 GiB
+        ≤ 0.92·HBM, halving until it holds — reproduces all four: ~0.7
+        GiB/request at LLaVA geometry → cap 2 at 32 slots, cap 4 at 16.
+        CPU (tests) is treated as unlimited, keeping min(slots, 8)."""
+        leaf_bytes = (lambda tree: sum(
+            x.size * x.dtype.itemsize
+            for x in jax.tree_util.tree_leaves(tree)))
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            hbm = stats.get("bytes_limit", 0)
+        except Exception:
+            hbm = 0
+        if not hbm:
+            # the axon relay's memory_stats() returns {} — v5e default
+            hbm = (1 << 62) if jax.default_backend() == "cpu" else 16 * 2**30
+        t = self.tcfg
+        per_tok = 2 * t.num_hidden_layers * t.kv_heads * t.head_dim
+        row = per_tok * self.max_seq * (
+            (1 + 4 / t.head_dim) if self.kv_quant else 2)
+        # per-request prefill activations: full-seq f32 logits + ~64
+        # hidden-size bf16 transients (see docstring; calibrated)
+        row += self.max_seq * (4 * t.vocab_size + 128 * t.hidden_size)
+        budget = (int(hbm * 0.92) - leaf_bytes(self.model.params)
+                  - leaf_bytes(self.kv) - (1 << 29))
+        cap = want
+        while cap > self.admit_batch and cap * row > budget:
+            cap //= 2
+        cap = max(self.admit_batch, cap)
+        if cap < want:
+            print(f"ServeEngine: startup-ramp cold cap {want} -> {cap} "
+                  f"(admission-block row {row / 2**20:.0f} MiB at "
+                  f"max_seq={self.max_seq}, block budget "
+                  f"{max(budget, 0) / 2**30:.2f} GiB)")
+        return cap
 
     # ── public API ─────────────────────────────────────────────────────
     def submit(self, input_ids, pixel_values=None, max_new_tokens: int = 64,
