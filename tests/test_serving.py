@@ -518,3 +518,41 @@ def test_qwen_admission_failure_rolls_back(qwen_model, rng, monkeypatch):
     monkeypatch.setattr(ServeEngine, "_prefill_qwen_group", real)
     out = eng.run()
     assert rid in out and 1 <= len(out[rid]) <= 4
+
+
+def test_cold_cap_hbm_clamp(model, monkeypatch):
+    """The auto startup-ramp cap clamps against the reported HBM budget
+    (engine.py::_fit_cold_cap; calibrated on one v5e against four measured
+    admit-N feasibility points). Endpoints: an unlimited device keeps the
+    min(slots, 8) auto cap (the CPU/test default); a device barely larger
+    than the resident footprint clamps all the way down to admit_batch;
+    and the cap halves monotonically as the budget shrinks."""
+    import jax
+
+    class FakeDev:
+        def __init__(self, limit):
+            self._limit = limit
+
+        def memory_stats(self):
+            return {"bytes_limit": self._limit}
+
+    def with_limit(limit):
+        monkeypatch.setattr(jax, "devices", lambda: [FakeDev(limit)])
+        return ServeEngine(model, slots=8, max_seq=64, bucket=16,
+                           admit_batch=2, admit_batch_cold=0)
+
+    leaf_bytes = lambda tree: sum(
+        x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(tree))
+    probe = with_limit(1 << 60)
+    assert probe.admit_batch_cold == 8          # unlimited: full auto cap
+    resident = leaf_bytes(probe.model.params) + leaf_bytes(probe.kv)
+    # the per-admission row the clamp prices (mirrors _fit_cold_cap —
+    # duplicated deliberately so a calibration change fails this test)
+    t = probe.tcfg
+    row = (2 * t.num_hidden_layers * t.kv_heads * t.head_dim * 64 * 2
+           + 64 * (4 * t.vocab_size + 128 * t.hidden_size))
+    base = (resident + (1 << 29)) / 0.92
+
+    caps = [with_limit(int(base + n * row / 0.92) + 4096).admit_batch_cold
+            for n in (8, 4, 2, 0)]
+    assert caps == [8, 4, 2, 2]                 # monotone halving, floor=admit_batch
