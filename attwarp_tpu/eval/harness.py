@@ -128,6 +128,14 @@ class EngineAnswerBackend:
         # 7.9 GiB of weights. The startup admission ramp (engine
         # admit_batch_cold, default min(slots, 8)) makes the cold wave's
         # block up to 8 requests wide, so size for that.
+        # NOTE: ServeEngine._fit_cold_cap models the same transient with a
+        # fuller per-row formula (block + prefill activations) to clamp
+        # the cold cap at runtime; the two are deliberately NOT unified —
+        # this slot-sizing term is calibrated by the GREEN 7B runbook run
+        # (tools/runbook_dryrun.log) and the engine's by four measured
+        # admit-N feasibility points, and the engine's clamp is the
+        # runtime guarantor either way (an 8-wide reservation here is
+        # conservative, never unsafe).
         admit_block = min(8, self.slots) * max_seq * per_tok * (
             1 if kv_quant else 2)
         # 3 GiB reserve: the second runbook dry-run still OOM'd with a

@@ -103,6 +103,41 @@ def make_decode_prep(kv):
             kv.v_s.reshape(L, B, 1, S * kvH))
 
 
+def append_decode_quant(kv0, appends, cur_len, kv_heads: int, prep):
+    """Kernel-path epilogue shared by both model families (llama_decode_step
+    and qwen2vl_decode_step): ONE batched dynamic_update_slice writes every
+    layer's new-token K/V (+ per-(token, head) scales) into the step-entry
+    cache at ``cur_len`` — after the last stale kernel read, so the
+    donated cache's in-place update chain is never raced — and, when a
+    carried ``prep`` is threaded, appends the same scales into its flat
+    (L, B, 1, S*kvH) layout with one tiny dus (never the full relayout).
+
+    ``appends``: per-layer (k_q, k_s, v_q, v_s) for the current token.
+    Returns (kv, prep)."""
+    def app(cache, xs):
+        zeros = (0,) * (cache.ndim - 3)
+        return jax.lax.dynamic_update_slice(
+            cache, jnp.stack(xs), (0, 0, cur_len, *zeros))
+
+    kv = QuantKVCache(
+        app(kv0.k_q, [a[0] for a in appends]),
+        app(kv0.k_s, [a[1] for a in appends]),
+        app(kv0.v_q, [a[2] for a in appends]),
+        app(kv0.v_s, [a[3] for a in appends]),
+    )
+    if prep is not None:
+        ksx, vsx = prep
+        prep = (
+            jax.lax.dynamic_update_slice(
+                ksx, jnp.stack([a[1] for a in appends]),
+                (0, 0, 0, cur_len * kv_heads)),
+            jax.lax.dynamic_update_slice(
+                vsx, jnp.stack([a[3] for a in appends]),
+                (0, 0, 0, cur_len * kv_heads)),
+        )
+    return kv, prep
+
+
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     x32 = x.astype(jnp.float32)
     var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
@@ -515,30 +550,8 @@ def llama_decode_step(
         )
         x = x + mlp
     if quant and use_kernel:
-        # ONE batched append of every layer's new K/V after the last
-        # stale read — keeps the donated cache's update in place
-        def app(cache, xs):
-            zeros = (0,) * (cache.ndim - 3)
-            return jax.lax.dynamic_update_slice(
-                cache, jnp.stack(xs), (0, 0, cur_len, *zeros))
-
-        kv = QuantKVCache(
-            app(kv0.k_q, [a[0] for a in appends]),
-            app(kv0.k_s, [a[1] for a in appends]),
-            app(kv0.v_q, [a[2] for a in appends]),
-            app(kv0.v_s, [a[3] for a in appends]),
-        )
-        if prep is not None:
-            # append the new token's scales into the carried flat layout
-            # (one tiny dus — never the full relayout)
-            prep = (
-                jax.lax.dynamic_update_slice(
-                    ksx, jnp.stack([a[1] for a in appends]),
-                    (0, 0, 0, cur_len * cfg.kv_heads)),
-                jax.lax.dynamic_update_slice(
-                    vsx, jnp.stack([a[3] for a in appends]),
-                    (0, 0, 0, cur_len * cfg.kv_heads)),
-            )
+        kv, prep = append_decode_quant(
+            kv0, appends, cur_len, cfg.kv_heads, prep)
     elif prep is not None:
         # off-kernel step with a carried prep: keep it consistent with the
         # updated cache (this path is CPU/fallback only — the relayout

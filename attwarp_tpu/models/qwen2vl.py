@@ -480,26 +480,10 @@ def qwen2vl_decode_step(
         h2 = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         x = x + _mlp(lp, h2)
     if quant and use_kernel:
-        def app(cache, xs):
-            zeros = (0,) * (cache.ndim - 3)
-            return jax.lax.dynamic_update_slice(
-                cache, jnp.stack(xs), (0, 0, cur_len, *zeros))
+        from attwarp_tpu.models.llama import append_decode_quant
 
-        kv = QuantKVCache(
-            app(kv0.k_q, [a[0] for a in appends]),
-            app(kv0.k_s, [a[1] for a in appends]),
-            app(kv0.v_q, [a[2] for a in appends]),
-            app(kv0.v_s, [a[3] for a in appends]),
-        )
-        if prep is not None:
-            prep = (
-                jax.lax.dynamic_update_slice(
-                    ksx, jnp.stack([a[1] for a in appends]),
-                    (0, 0, 0, cur_len * cfg.kv_heads)),
-                jax.lax.dynamic_update_slice(
-                    vsx, jnp.stack([a[3] for a in appends]),
-                    (0, 0, 0, cur_len * cfg.kv_heads)),
-            )
+        kv, prep = append_decode_quant(
+            kv0, appends, cur_len, cfg.kv_heads, prep)
     elif prep is not None:
         from attwarp_tpu.models.llama import make_decode_prep
 

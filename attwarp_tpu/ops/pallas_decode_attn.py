@@ -162,8 +162,14 @@ def decode_attn_supported(S: int, kv_heads: int, head_dim: int,
     batch bound: the v2 kernel's effective bandwidth scales monotonically
     (273/413/473/507 GiB/s at B=8/16/24/32 S=672,
     tools/bench_attn_forms.py) — the v1 B>=24 collapse was an artifact of
-    its per-rep (n_rep*kvH, kvH*hd) accumulator traffic, gone in v2."""
-    return head_dim == 128 and _seq_tile(S, kv_heads, head_dim) != 0 \
+    its per-rep (n_rep*kvH, kvH*hd) accumulator traffic, gone in v2.
+
+    The gate asks ``_tile_plan`` — the same planner the kernel uses — so
+    gate and plan cannot disagree: a geometry the planner cannot tile
+    (no multiple-of-32 divisor of S, or no (Sb, Bb) under the VMEM
+    budget) routes to the XLA fallback instead of tracing with Sb=0."""
+    return head_dim == 128 \
+        and _tile_plan(S, kv_heads, head_dim, batch) != (0, 0) \
         and _backend_on()
 
 

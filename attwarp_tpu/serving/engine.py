@@ -674,7 +674,10 @@ class ServeEngine:
         weights + cache + n·(block row + Tb·(4·vocab + 128·D)) + 0.5 GiB
         ≤ 0.92·HBM, halving until it holds — reproduces all four: ~0.7
         GiB/request at LLaVA geometry → cap 2 at 32 slots, cap 4 at 16.
-        CPU (tests) is treated as unlimited, keeping min(slots, 8)."""
+        CPU (tests) is treated as unlimited, keeping min(slots, 8).
+        (eval/harness.py::_fit_slots prices the same transient with a
+        simpler runbook-calibrated term when choosing the SLOT count;
+        deliberately not unified — see the note there.)"""
         leaf_bytes = (lambda tree: sum(
             x.size * x.dtype.itemsize
             for x in jax.tree_util.tree_leaves(tree)))

@@ -95,10 +95,13 @@ def make_scene_hard(
     - the tag SCALE varies (cell 5-8 px at src=512: 1.25-2 px/cell in the
       reader's 128px view — all unreadable unwarped, and the warp must
       deliver different magnification factors),
-    - 2-4 DISTRACTOR high-contrast patterns (checkerboards / stripes at
-      full black-white contrast, same size class as the tag) pull attention
-      mass away from the tag: the extraction's saliency map becomes
-      multi-modal and the marginal CDFs magnify distractor bands too.
+    - 3-4 DISTRACTOR high-contrast patterns attempted per scene
+      (``n_distractors`` + a coin flip; a placement that can't find a
+      free spot is skipped, so a rare scene carries fewer) — full
+      black-white checkerboards / stripes, same size class as the tag —
+      pull attention mass away from the tag: the extraction's saliency
+      map becomes multi-modal and the marginal CDFs magnify distractor
+      bands too.
 
     The true tag remains identifiable by its black quiet ring (the
     distractor patterns run edge-to-edge) — the reader's prior, standing in
