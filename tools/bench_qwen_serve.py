@@ -123,5 +123,13 @@ print(f"{label}: {N_REQ} requests, {total_new} tokens in {dt:.1f}s -> "
       f"{total_new/dt:.1f} tok/s aggregate")
 print(f"  TTFT  ms: mean {ttft.mean():.0f}  p50 {np.percentile(ttft, 50):.0f}"
       f"  p95 {np.percentile(ttft, 95):.0f}")
+# first wave = the first SLOTS submitted requests (zero queue wait): their
+# TTFT is pure admission latency (mirrors tools/bench_serve.py)
+wave = [eng.request_stats[r] for r in sorted(eng.request_stats)[:SLOTS]
+        if "first_token" in eng.request_stats[r]]
+if wave:
+    wttft = np.asarray([s["first_token"] - s["submit"] for s in wave]) * 1e3
+    print(f"  first-wave TTFT ms (n={len(wave)}): "
+          f"p50 {np.percentile(wttft, 50):.0f}  p95 {np.percentile(wttft, 95):.0f}")
 print(f"  turn  ms: mean {turn.mean():.0f}  p50 {np.percentile(turn, 50):.0f}"
       f"  p95 {np.percentile(turn, 95):.0f}")
